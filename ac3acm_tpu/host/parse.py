@@ -456,8 +456,8 @@ class A52Parser:
         lut = T.dither_lut()
         nstate = int(lut[s.lfsr_state >> 8] ^ ((s.lfsr_state << 8) & 0xFFFF))
         s.lfsr_state = nstate
-        v = np.int16(nstate)
-        return _F((3 * int(v)) >> 2)
+        v = nstate - 65536 if nstate >= 32768 else nstate   # int16 view
+        return _F((3 * v) >> 2)
 
     # -- coeff_get ---------------------------------------------------------
     def _coeff_get(self, br, q, a, b, ch, exp, bap, level, dither, end, quant):

@@ -1,0 +1,218 @@
+"""TPU-native AC-3 decoder.
+
+Split of responsibilities (BASELINE north star):
+  host pre-pass (ac3acm_tpu.host.parse)  -> dense (q, a, b) block tensors
+  device pipeline (here, jit/scan/vmap)  -> PCM
+
+The device pipeline reproduces a52_block's math stage-for-stage
+(parse.c:558-940): dequant `(q*a)*b`, stereo rematrixing, the
+downmix-before-IMDCT vs IMDCT-then-downmix strategy decision (including the
+`downmixed` delay-layout carry and its upmix/downmix fixups,
+parse.c:881-937), the 128-float OLA delay per channel, and the exact mixer
+orderings from downmix.c.  It is jit-specialized on the stream format
+(acmod, output mode, LFE, slev==0) -- the production design buckets streams
+by format.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+from ..host import parse as P
+from ..ops.downmix import downmix, upmix
+from ..ops.filterbank import filterbank
+
+
+@dataclass(frozen=True)
+class StreamFormat:
+    """Static jit-specialization key for the device pipeline."""
+    acmod: int
+    output: int          # negotiated output incl. A52_LFE bit
+    slev_zero: bool
+    chanbias: int
+
+    @property
+    def nfchans(self) -> int:
+        return int(T.NFCHANS[self.acmod])
+
+    @property
+    def nf_out(self) -> int:
+        return int(T.NFCHANS[self.output & T.A52_CHANNEL_MASK])
+
+    @property
+    def lfe_out(self) -> bool:
+        return bool(self.output & T.A52_LFE)
+
+    @property
+    def nch_out(self) -> int:
+        return self.nf_out + (1 if self.lfe_out else 0)
+
+
+def _block_step(fmt: StreamFormat, carry, blk):
+    """One a52_block worth of device math.  carry = (delay [6,128], downmixed).
+
+    blk: dict with q,a,b [6,256]; blksw [5] bool; coeff [5]; remat [256] bool;
+    bias scalar.
+    """
+    delay, downmixed = carry
+    nf = fmt.nfchans
+    bias = blk["bias"]
+
+    freq = (blk["q"] * blk["a"]) * blk["b"]          # [6, 256]
+
+    if fmt.acmod == T.A52_STEREO:
+        s0, s1 = freq[0], freq[1]
+        m = blk["remat"]
+        freq = freq.at[0].set(jnp.where(m, s0 + s1, s0))
+        freq = freq.at[1].set(jnp.where(m, s0 - s1, s1))
+
+    # --- LFE (always long block, always state->bias) ------------------------
+    lfe_time = None
+    new_delay = delay
+    if fmt.lfe_out:
+        lfe_time, lfe_d = filterbank(freq[5], delay[5], jnp.asarray(False), bias)
+        new_delay = new_delay.at[5].set(lfe_d)
+
+    fbw = freq[:5]
+    blksw = blk["blksw"]
+    coeff = blk["coeff"]
+
+    # --- TIME path: IMDCT coded channels, then time-domain downmix ----------
+    delay_t = jnp.where(downmixed, upmix(delay[:5], fmt.acmod, fmt.output),
+                        delay[:5])
+    bias_vec = jnp.where(
+        jnp.asarray([(fmt.chanbias >> i) & 1 for i in range(5)], bool),
+        0.0, bias)
+    t_out, t_dnew = filterbank(fbw, delay_t, blksw, bias_vec)
+    zero_ch = (coeff == 0.0)[:, None]
+    t_out = jnp.where(zero_ch, bias, t_out)
+    t_dnew = jnp.where(zero_ch, delay_t, t_dnew)
+    t_mixed = downmix(t_out, fmt.acmod, fmt.output, bias,
+                      slev_zero=fmt.slev_zero)
+
+    if fmt.nf_out >= fmt.nfchans:
+        # reference always takes the TIME path here (parse.c:881-886)
+        out = t_mixed
+        new_delay = new_delay.at[:5].set(t_dnew)
+        carry = (new_delay, jnp.asarray(False))
+    else:
+        # --- FREQ path: downmix in frequency domain, IMDCT output channels --
+        f_freq = downmix(fbw, fmt.acmod, fmt.output, jnp.asarray(0.0, fbw.dtype),
+                         slev_zero=fmt.slev_zero)
+        delay_f = jnp.where(downmixed, delay[:5],
+                            downmix(delay[:5], fmt.acmod, fmt.output,
+                                    jnp.asarray(0.0, fbw.dtype),
+                                    slev_zero=fmt.slev_zero))
+        blk0 = jnp.broadcast_to(blksw[0], (5,))
+        f_out, f_dnew = filterbank(f_freq, delay_f, blk0,
+                                   jnp.broadcast_to(bias, (5,)))
+        uniform = jnp.all(blksw[:nf] == blksw[0])
+        out = jnp.where(uniform, f_out, t_mixed)
+        new_delay = new_delay.at[:5].set(jnp.where(uniform, f_dnew, t_dnew))
+        carry = (new_delay, uniform)
+
+    planes = [out[i] for i in range(fmt.nf_out)]
+    if fmt.lfe_out:
+        planes = [lfe_time] + planes
+    pcm = jnp.stack(planes)                          # [nch_out, 256]
+    return carry, pcm
+
+
+@lru_cache(maxsize=64)
+def block_pipeline(fmt: StreamFormat):
+    """jitted (carry, blocks) -> (carry, pcm [nblk, nch_out, 256]).
+
+    blocks: pytree of stacked per-block tensors with leading nblk axis.
+    Batched variants vmap this over a leading stream axis.
+    """
+    def run(carry, blocks):
+        return jax.lax.scan(partial(_block_step, fmt), carry, blocks)
+    return jax.jit(run)
+
+
+def init_carry(batch_shape=()):
+    return (jnp.zeros(batch_shape + (6, 128), jnp.float32),
+            jnp.zeros(batch_shape, bool) | True)
+
+
+def _stack_blocks(frames) -> dict:
+    """Stack host FrameData blocks into device arrays [nblk, ...]."""
+    blocks = [b for f in frames for b in f.blocks]
+    bias = np.float32(frames[0].bias)
+    return {
+        "q": np.stack([b.q for b in blocks]),
+        "a": np.stack([b.a for b in blocks]),
+        "b": np.stack([b.b for b in blocks]),
+        "blksw": np.stack([b.blksw for b in blocks]),
+        "coeff": np.stack([b.coeff for b in blocks]),
+        "remat": np.stack([b.remat_mask for b in blocks]),
+        "bias": np.full(len(blocks), bias, np.float32),
+    }
+
+
+class Decoder:
+    """Single-stream decoder with the a52_* API shape.
+
+    >>> dec = Decoder()
+    >>> pcm = dec.decode(es_bytes, flags=T.A52_STEREO | T.A52_ADJUST_LEVEL,
+    ...                  level=1.0, bias=0.0)      # float32 [n, nch, 256]
+    """
+
+    def __init__(self):
+        self.parser = P.A52Parser()
+        self._carry = None
+        self._fmt = None
+
+    def syncinfo(self, buf: bytes):
+        return P.syncinfo(buf)
+
+    def dynrng(self, callback=None):
+        """a52_dynrng parity: None disables DRC; a callable remaps it."""
+        self.parser.s.dynrnge = callback is not None or callback is None and False
+        if callback is False:
+            self.parser.s.dynrnge = False
+        if callable(callback):
+            self.parser.s.dynrnge = True
+            self.parser.s.dynrng_call = callback
+
+    def set_drc_enabled(self, enabled: bool):
+        self.parser.s.dynrnge = enabled
+
+    def decode_frames(self, frames_bytes, flags, level=1.0, bias=0.0):
+        """Decode a list of raw frames; returns float32 [nblk, nch_out, 256]."""
+        frames = [self.parser.decode_frame(fb, flags, level, bias)
+                  for fb in frames_bytes]
+        s = self.parser.s
+        fmt = StreamFormat(
+            acmod=s.acmod, output=s.output,
+            slev_zero=bool(s.slev == 0.0),
+            chanbias=int(P.downmix_coeff(s.acmod, s.output, 1.0,
+                                         s.clev, s.slev)[1]))
+        if self._carry is None or fmt != self._fmt:
+            self._carry = init_carry()
+            self._fmt = fmt
+        blocks = _stack_blocks(frames)
+        self._carry, pcm = block_pipeline(fmt)(self._carry, blocks)
+        return np.asarray(pcm), fmt
+
+    def decode_stream(self, es: bytes, flags, level=1.0, bias=0.0):
+        """Frame-sync state machine over an elementary stream."""
+        frames = []
+        pos = 0
+        while pos + 7 <= len(es):
+            size, _, _, _ = P.syncinfo(es[pos:pos + 7])
+            if size == 0:
+                pos += 1
+                continue
+            if pos + size > len(es):
+                break
+            frames.append(es[pos:pos + size])
+            pos += size
+        if not frames:
+            return np.zeros((0, 0, 256), np.float32), None
+        return self.decode_frames(frames, flags, level, bias)

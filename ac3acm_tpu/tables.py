@@ -237,18 +237,35 @@ CPL_BNDTAB = MASKTAB[np.arange(16) * 12 + 37].copy()
 
 
 # ---------------------------------------------------------------------------
-# Log-add table: latab[j] = floor(64 * log2(1 + 2^(-j/32))), j in [0,256).
-# (Encoder keeps 260 entries with a 4-zero tail; decoder stores the negated
-# first 256.)
+# Log-addition table, A/52 Table 7.18 (spec data -- approximately
+# floor(64*log2(1+2^(-j/32))) but with 19 entries quantized differently in
+# the standard, so the published values are authoritative).  Spec
+# orientation; the liba52 decoder stores the negated first 256 entries.
 # ---------------------------------------------------------------------------
 
-def _latab():
-    j = np.arange(260)
-    v = np.floor(64.0 * np.log2(1.0 + 2.0 ** (-j / 32.0))).astype(np.int32)
-    v[v < 0] = 0
-    return v
-
-LATAB = _latab()          # spec orientation (encoder ac3tab.h:51-78)
+LATAB = np.array([
+    0x40, 0x3f, 0x3e, 0x3d, 0x3c, 0x3b, 0x3a, 0x39, 0x38, 0x37,
+    0x36, 0x35, 0x34, 0x34, 0x33, 0x32, 0x31, 0x30, 0x2f, 0x2f,
+    0x2e, 0x2d, 0x2c, 0x2c, 0x2b, 0x2a, 0x29, 0x29, 0x28, 0x27,
+    0x26, 0x26, 0x25, 0x24, 0x24, 0x23, 0x23, 0x22, 0x21, 0x21,
+    0x20, 0x20, 0x1f, 0x1e, 0x1e, 0x1d, 0x1d, 0x1c, 0x1c, 0x1b,
+    0x1b, 0x1a, 0x1a, 0x19, 0x19, 0x18, 0x18, 0x17, 0x17, 0x16,
+    0x16, 0x15, 0x15, 0x15, 0x14, 0x14, 0x13, 0x13, 0x13, 0x12,
+    0x12, 0x12, 0x11, 0x11, 0x11, 0x10, 0x10, 0x10, 0x0f, 0x0f,
+    0x0f, 0x0e, 0x0e, 0x0e, 0x0d, 0x0d, 0x0d, 0x0d, 0x0c, 0x0c,
+    0x0c, 0x0c, 0x0b, 0x0b, 0x0b, 0x0b, 0x0a, 0x0a, 0x0a, 0x0a,
+    0x0a, 0x09, 0x09, 0x09, 0x09, 0x09, 0x08, 0x08, 0x08, 0x08,
+    0x08, 0x08, 0x07, 0x07, 0x07, 0x07, 0x07, 0x07, 0x06, 0x06,
+    0x06, 0x06, 0x06, 0x06, 0x06, 0x06, 0x05, 0x05, 0x05, 0x05,
+    0x05, 0x05, 0x05, 0x05, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04,
+    0x04, 0x04, 0x04, 0x04, 0x04, 0x03, 0x03, 0x03, 0x03, 0x03,
+    0x03, 0x03, 0x03, 0x03, 0x03, 0x03, 0x03, 0x03, 0x03, 0x02,
+    0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x02,
+    0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x02, 0x01, 0x01,
+    0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01,
+    0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01,
+    0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01,
+] + [0] * 50, dtype=np.int32)  # 211 values + zero tail to 260 entries
 
 # ---------------------------------------------------------------------------
 # Hearing threshold, A/52 Table 7.5 (spec data; no closed form).

@@ -57,6 +57,38 @@ int ref_encode_frame(unsigned char *dst, short *samples, unsigned char *chmap) {
     return AC3_encode_frame(dst, samples, chmap);
 }
 }
+
+// Decoder-side bit-allocation probe (drives liba52's a52_bit_allocate on a
+// synthetic state so the spec-form allocator can be fuzzed against it).
+extern "C" {
+#include <inttypes.h>
+#include "a52.h"
+#include "a52_internal.h"
+}
+extern "C" int ref_bit_allocate(
+    const unsigned char *exp, int bndstart, int start, int end,
+    int fscod, int halfrate, int bai, int ba_bai, int csnroffst,
+    int deltbae, const signed char *deltba, int fastleak, int slowleak,
+    signed char *bap_out)
+{
+    a52_state_t st;
+    memset(&st, 0, sizeof(st));
+    st.fscod = fscod;
+    st.halfrate = halfrate;
+    st.bai = bai;
+    st.csnroffst = csnroffst;
+    ba_t ba;
+    memset(&ba, 0, sizeof(ba));
+    ba.bai = ba_bai;
+    ba.deltbae = deltbae;
+    if (deltba) memcpy(ba.deltba, deltba, 50);
+    expbap_t eb;
+    memset(&eb, 0, sizeof(eb));
+    memcpy(eb.exp, exp, 256);
+    a52_bit_allocate(&st, &ba, bndstart, start, end, fastleak, slowleak, &eb);
+    memcpy(bap_out, eb.bap, 256);
+    return 0;
+}
 """
 
 
@@ -65,7 +97,7 @@ def build() -> Path:
     so = BUILD / "libref.so"
     stamp = BUILD / "stamp"
     srcs = sorted((REF / "liba52").glob("*.c")) + [REF_ENC / "ac3enc.cpp"]
-    sig = "|".join(f"{s}:{s.stat().st_mtime}" for s in srcs) + "v5"
+    sig = "|".join(f"{s}:{s.stat().st_mtime}" for s in srcs) + "v7"
     if so.exists() and stamp.exists() and stamp.read_text() == sig:
         return so
 
@@ -121,6 +153,22 @@ class RefLib:
         L.ref_encode_frame.restype = ctypes.c_int
         L.ref_encode_frame.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_short),
                                        ctypes.POINTER(ctypes.c_ubyte)]
+        L.ref_bit_allocate.restype = ctypes.c_int
+
+    def bit_allocate(self, exp, start, end, fscod=0, halfrate=0, bai=0,
+                     ba_bai=0, csnroffst=0, deltbae=2, deltba=None,
+                     bndstart=0, fastleak=0, slowleak=0):
+        import numpy as np
+        exp = np.ascontiguousarray(exp, dtype=np.uint8)
+        bap = np.zeros(256, dtype=np.int8)
+        d = (np.ascontiguousarray(deltba, dtype=np.int8) if deltba is not None
+             else np.zeros(50, dtype=np.int8))
+        self.lib.ref_bit_allocate(
+            exp.ctypes.data_as(ctypes.c_char_p), bndstart, start, end,
+            fscod, halfrate, bai, ba_bai, csnroffst, deltbae,
+            d.ctypes.data_as(ctypes.c_char_p), fastleak, slowleak,
+            bap.ctypes.data_as(ctypes.c_char_p))
+        return bap
 
     # ---- decoder oracle ----------------------------------------------------
 
@@ -185,7 +233,7 @@ class RefLib:
         import numpy as np
         pcm = np.ascontiguousarray(pcm, dtype=np.int16)
         nch = pcm.shape[1]
-        fs = self.lib.ref_encode_init(freq, bitrate, nch)
+        fs = self.lib.ref_encode_init(freq, bitrate * 1000, nch)
         assert fs > 0, "ref encoder init failed"
         chmap = (ctypes.c_ubyte * nch)(*range(nch))
         out = bytearray()
