@@ -1,0 +1,195 @@
+"""Command-line tools: decode (a52dec parity), encode, extract, info.
+
+    python -m ac3acm_tpu.cli decode in.ac3 -o out.wav --output wav
+    python -m ac3acm_tpu.cli decode in.vob --container ps --track 0 ...
+    python -m ac3acm_tpu.cli encode in.wav -o out.ac3 -b 192
+    python -m ac3acm_tpu.cli extract in.ts --pid 0x1100 -o out.ac3
+    python -m ac3acm_tpu.cli info in.ac3
+
+Flag parity with the reference CLI (a52dec.c:130-230): gain (-g, in 6dB
+steps there; dB here), driver selection (-o), track/pid selection for
+PS/TS input, DRC toggle.
+"""
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+
+import numpy as np
+
+from . import tables as T
+from .io import demux
+from .io.sinks import make_sink
+from .utils.config import CodecConfig
+from .utils.meter import FpsMeter
+
+
+def _open_out(path):
+    return sys.stdout.buffer if path in (None, "-") else open(path, "wb")
+
+
+def cmd_decode(args):
+    from .models.decoder import Decoder
+    data = open(args.input, "rb").read() if args.input != "-" \
+        else sys.stdin.buffer.read()
+    es = demux.extract_es(data, args.container, args.track, args.pid)
+    fp = _open_out(args.out)
+    sink = make_sink(args.output, fp)
+
+    # probe sample rate from the first frame
+    srate = 48000
+    for _, srate, _ in demux.es_frames(es):
+        break
+    flags, level, bias = sink.setup(srate)
+    flags |= T.A52_ADJUST_LEVEL
+    level *= 2.0 ** (args.gain / 6.0)
+
+    dec = Decoder()
+    if not args.drc:
+        dec.set_drc_enabled(False)
+    meter = FpsMeter(srate, enabled=not args.quiet)
+    frames = [f for f, _, _ in demux.es_frames(es)]
+    chunk = max(1, args.chunk_frames)
+    for i in range(0, len(frames), chunk):
+        pcm, fmt = dec.decode_frames(frames[i:i + chunk], flags, level, bias)
+        for blk in pcm:
+            sink.play(fmt.output, blk)
+        meter.tick(len(frames[i:i + chunk]))
+    meter.close()
+    sink.close()
+    if fp is not sys.stdout.buffer:
+        fp.close()
+    return 0
+
+
+def _read_wav(path):
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", "not a RIFF/WAVE"
+    pos = 12
+    fmt = None
+    pcm = None
+    rate = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            tag, nch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            assert bits == 16, "only 16-bit PCM input supported"
+            fmt = (nch, rate)
+        elif cid == b"data":
+            pcm = np.frombuffer(body, "<i2")
+        pos += 8 + sz + (sz & 1)
+    assert fmt and pcm is not None, "missing fmt/data chunk"
+    nch, rate = fmt
+    return pcm.reshape(-1, nch), rate
+
+
+def cmd_encode(args):
+    from .models.encoder import Encoder
+    if args.input.endswith(".wav"):
+        pcm, rate = _read_wav(args.input)
+    else:
+        raw = np.fromfile(args.input, "<i2")
+        pcm = raw.reshape(-1, args.channels)
+        rate = args.rate
+    nch = pcm.shape[1]
+    bitrate = (args.bitrate * 1000 if args.bitrate
+               else CodecConfig.load().default_bitrate(nch))
+    enc = Encoder(rate, bitrate, nch)
+    fp = _open_out(args.out)
+    meter = FpsMeter(rate, enabled=not args.quiet)
+    nfr = pcm.shape[0] // T.FRAME_SAMPLES
+    for i in range(nfr):
+        fp.write(enc.encode(pcm[i * 1536:(i + 1) * 1536]))
+        meter.tick(1)
+    meter.close()
+    if fp is not sys.stdout.buffer:
+        fp.close()
+    print(f"encoded {nfr} frames @ {bitrate // 1000} kbps", file=sys.stderr)
+    return 0
+
+
+def cmd_extract(args):
+    data = open(args.input, "rb").read()
+    es = demux.extract_es(data, args.container, args.track, args.pid)
+    fp = _open_out(args.out)
+    fp.write(es)
+    if fp is not sys.stdout.buffer:
+        fp.close()
+    return 0
+
+
+def cmd_info(args):
+    data = open(args.input, "rb").read()
+    es = demux.extract_es(data, args.container, args.track, args.pid)
+    n = 0
+    first = None
+    for frame, srate, brate in demux.es_frames(es):
+        if first is None:
+            _, flags, _, _ = __import__(
+                "ac3acm_tpu.host.parse", fromlist=["syncinfo"]).syncinfo(frame[:7])
+            first = (srate, brate, flags)
+        n += 1
+    if first is None:
+        print("no AC-3 frames found")
+        return 1
+    srate, brate, flags = first
+    mode = ["1+1", "1/0", "2/0", "3/0", "2/1", "3/1", "2/2", "3/2"][flags & 7]
+    lfe = "+LFE" if flags & T.A52_LFE else ""
+    print(f"AC-3 {mode}{lfe}, {srate} Hz, {brate // 1000} kbps, {n} frames, "
+          f"{n * 1536 / srate:.2f}s")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ac3acm_tpu",
+                                description="TPU-native AC-3 codec tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="AC-3 -> PCM (a52dec parity)")
+    d.add_argument("input")
+    d.add_argument("-o", "--out", default=None)
+    d.add_argument("--output", default="wav",
+                   help="sink: wav wavdolby wav6 float null null4 null6 "
+                        "peak peakdolby aif aifdolby")
+    d.add_argument("-g", "--gain", type=float, default=0.0, help="gain in dB")
+    d.add_argument("--no-drc", dest="drc", action="store_false")
+    d.add_argument("--container", default="auto", choices=["auto", "es", "ps", "ts"])
+    d.add_argument("--track", type=lambda x: int(x, 0), default=0)
+    d.add_argument("--pid", type=lambda x: int(x, 0), default=0)
+    d.add_argument("--chunk-frames", type=int, default=16)
+    d.add_argument("-q", "--quiet", action="store_true")
+    d.set_defaults(fn=cmd_decode)
+
+    e = sub.add_parser("encode", help="PCM -> AC-3")
+    e.add_argument("input", help=".wav or raw s16le")
+    e.add_argument("-o", "--out", default=None)
+    e.add_argument("-b", "--bitrate", type=int, default=None, help="kbit/s")
+    e.add_argument("--rate", type=int, default=48000, help="raw input rate")
+    e.add_argument("--channels", type=int, default=2, help="raw input chans")
+    e.add_argument("-q", "--quiet", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    x = sub.add_parser("extract", help="container -> raw AC-3 ES")
+    x.add_argument("input")
+    x.add_argument("-o", "--out", default=None)
+    x.add_argument("--container", default="auto", choices=["auto", "es", "ps", "ts"])
+    x.add_argument("--track", type=lambda v: int(v, 0), default=0)
+    x.add_argument("--pid", type=lambda v: int(v, 0), default=0)
+    x.set_defaults(fn=cmd_extract)
+
+    i = sub.add_parser("info", help="stream summary")
+    i.add_argument("input")
+    i.add_argument("--container", default="auto", choices=["auto", "es", "ps", "ts"])
+    i.add_argument("--track", type=lambda v: int(v, 0), default=0)
+    i.add_argument("--pid", type=lambda v: int(v, 0), default=0)
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

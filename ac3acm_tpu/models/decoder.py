@@ -196,9 +196,14 @@ class Decoder:
         if self._carry is None or fmt != self._fmt:
             self._carry = init_carry()
             self._fmt = fmt
-        blocks = _stack_blocks(frames)
-        self._carry, pcm = block_pipeline(fmt)(self._carry, blocks)
-        return np.asarray(pcm), fmt
+        # fixed 6-block (one frame) device steps: one compiled shape total
+        fn = block_pipeline(fmt)
+        outs = []
+        for f in frames:
+            blocks = _stack_blocks([f])
+            self._carry, pcm = fn(self._carry, blocks)
+            outs.append(np.asarray(pcm))
+        return np.concatenate(outs, axis=0), fmt
 
     def decode_stream(self, es: bytes, flags, level=1.0, bias=0.0):
         """Frame-sync state machine over an elementary stream."""

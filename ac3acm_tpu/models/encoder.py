@@ -1,0 +1,397 @@
+"""TPU-native AC-3 encoder.
+
+Capability parity with the reference encoder (fccHandler/Bellard ac3enc,
+/root/reference/src/ac3enc/ac3enc.cpp), bit-exact output frames, but
+restructured for the TPU:
+
+  * the six blocks x channels x streams all window/normalize/MDCT in one
+    vectorized pass (the reference loops scalar C per block),
+  * exponent strategy, reuse folding, and the delta-constraint encoding run
+    as static-shape vector ops (the reference's "lazy" constraint loop,
+    ac3enc.cpp:730-747, is replaced by its closed-form fixpoint: the
+    maximal 2-Lipschitz array below the group minima, two scan passes),
+  * the SNR-offset rate-control hill climb (ac3enc.cpp:918-975) is
+    flattened: the masking curve is snroffset-independent, so bap and the
+    grouped-mantissa bit cost are evaluated for all 64 coarse offsets in
+    parallel and the reference's exact down/up-4/up-1 walk is replayed on
+    the precomputed table (same result, one device pass instead of ~15),
+  * quantization (sym/asym, ac3enc.cpp:1149-1190) is elementwise int32.
+
+Host side keeps only bit packing + CRC (ac3acm_tpu.host.pack).  Encoder
+state per stream is explicit and functional: (last_samples, csnroffst) --
+unlike the reference's static globals (ac3enc.cpp:78-87), this encoder is
+reentrant and batchable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+from ..host import pack as PK
+from ..ops import alloc as AL
+from ..ops.mdct import (av_log2, extract_exponents, mdct512,
+                        window_norm_block)
+
+EXP_NEW = 1
+FRAME_BITS_INC = (0, 0, 2, 2, 2, 4, 2, 4)
+ACMOD_BY_NCH = (1, 2, 3, 6, 7, 7)      # ac3enc.cpp:1029-1036
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    channels: int                      # 1..6 (6 => 5.1)
+    fscod: int
+    halfratecod: int
+    frmsizecod: int
+    frame_size: int                    # in 16-bit words
+    bit_rate: int                      # kbit/s (full-rate table value)
+
+    @property
+    def acmod(self) -> int:
+        return ACMOD_BY_NCH[self.channels - 1]
+
+    @property
+    def lfe(self) -> bool:
+        return self.channels == 6
+
+    @property
+    def nfchans(self) -> int:
+        return min(self.channels, 5)
+
+    @property
+    def nb_coefs(self):
+        n = [223] * self.nfchans
+        if self.lfe:
+            n.append(7)
+        return tuple(n)
+
+    @property
+    def sample_rate(self) -> int:
+        return int(T.SAMPLE_RATES[self.fscod]) >> self.halfratecod
+
+
+def make_config(freq: int, bitrate: int, channels: int) -> EncoderConfig:
+    """AC3_encode_init parameter selection (ac3enc.cpp:1019-1110)."""
+    if not 1 <= channels <= 6:
+        raise ValueError("channels must be 1..6")
+    fscod = halfratecod = None
+    for hr in range(3):
+        for j in range(3):
+            if (int(T.SAMPLE_RATES[j]) >> hr) == freq:
+                fscod, halfratecod = j, hr
+                break
+        if fscod is not None:
+            break
+    if fscod is None:
+        raise ValueError(f"unsupported sample rate {freq}")
+    kbps = bitrate // 1000
+    idx = None
+    for i in range(19):
+        if (int(T.BIT_RATES[i]) >> halfratecod) == kbps:
+            idx = i
+            break
+    if idx is None:
+        raise ValueError(f"unsupported bitrate {bitrate}")
+    frame_size = kbps * 1000 * T.FRAME_SAMPLES // (freq * 16)
+    return EncoderConfig(channels=channels, fscod=fscod,
+                         halfratecod=halfratecod, frmsizecod=idx << 1,
+                         frame_size=frame_size, bit_rate=int(T.BIT_RATES[idx]))
+
+
+# ---------------------------------------------------------------------------
+# exponent encoding (static shapes per strategy)
+# ---------------------------------------------------------------------------
+
+def _encode_exp_static(exp, nb_coefs: int, gsize: int):
+    """encode_exp for one static (nb_coefs, group size).
+
+    exp [..., 256] int32 -> (encoded [..., 256], nbits int).
+    """
+    ngroups = ((nb_coefs + gsize * 3 - 4) // (3 * gsize)) * 3
+    k = 1 + np.arange(ngroups)[:, None] * gsize + np.arange(gsize)[None, :]
+    gmin = jnp.min(exp[..., k], axis=-1)                  # [..., ngroups]
+    dc = jnp.minimum(exp[..., 0:1], 15)
+    v = jnp.concatenate([dc, gmin], axis=-1)              # [..., ngroups+1]
+    # maximal array <= v with |delta| <= 2: forward then backward min-scan
+    def fwd(c, x):
+        c = jnp.minimum(x, c + 2)
+        return c, c
+    def bwd(c, x):
+        c = jnp.minimum(x, c + 2)
+        return c, c
+    vt = jnp.moveaxis(v, -1, 0)
+    _, f = jax.lax.scan(fwd, vt[0], vt)
+    _, g = jax.lax.scan(bwd, f[-1], f, reverse=True)
+    e = jnp.moveaxis(g, 0, -1)                            # constrained exps
+    out = jnp.zeros_like(exp)
+    out = out.at[..., 0].set(e[..., 0])
+    fan = 1 + np.arange(ngroups)[:, None] * gsize + np.arange(gsize)[None, :]
+    out = out.at[..., fan.ravel()].set(
+        jnp.repeat(e[..., 1:], gsize, axis=-1))
+    nbits = 4 + (ngroups // 3) * 7
+    return out, nbits
+
+
+# ---------------------------------------------------------------------------
+# quantization (ac3enc.cpp:1149-1190 exact int semantics)
+# ---------------------------------------------------------------------------
+
+def _sym_quant(c, e, levels: int):
+    x = jnp.where(c >= 0, c, -c) << e
+    v = (levels * x) >> 24
+    v = (v + 1) >> 1
+    return jnp.where(c >= 0, levels // 2 + v, levels // 2 - v)
+
+
+def _asym_quant(c, e, qbits):
+    lshift = e + qbits - 24
+    v = jnp.where(lshift >= 0, c << jnp.maximum(lshift, 0),
+                  c >> jnp.maximum(-lshift, 0))
+    v = (v + 1) >> 1
+    m = 1 << (qbits - 1)
+    v = jnp.where(v >= m, m - 1, v)
+    return v & ((1 << qbits) - 1)
+
+
+def quantize(coef, enc_exp, global_exp, bap):
+    """Raw per-coefficient quantized codes (before group combining)."""
+    e = enc_exp - global_exp[..., None]
+    out = jnp.zeros_like(coef)
+    for cls, levels in ((1, 3), (2, 5), (3, 7), (4, 11), (5, 15)):
+        out = jnp.where(bap == cls, _sym_quant(coef, e, levels), out)
+    for cls in range(6, 16):
+        qbits = cls - 1 if cls < 14 else (14 if cls == 14 else 16)
+        out = jnp.where(bap == cls, _asym_quant(coef, e, qbits), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device encode step
+# ---------------------------------------------------------------------------
+
+def _leading_true(fits):
+    """Count of leading True along axis 0."""
+    return jnp.sum(jnp.cumprod(fits.astype(jnp.int32), axis=0), axis=0)
+
+
+@lru_cache(maxsize=16)
+def encode_pipeline(cfg: EncoderConfig):
+    """jitted: (samples [B,1536,nch] i32, last [B,nch,256] i32,
+    csnroffst [B] i32) -> dict of frame fields + new carry."""
+    nch = cfg.channels
+    nf = cfg.nfchans
+    nb = cfg.nb_coefs
+    hr = cfg.halfratecod
+    sdecay = int(T.SDECAYTAB[2]) >> hr
+    fdecay = int(T.FDECAYTAB[1]) >> hr
+    sgain = int(T.SGAINTAB[1])
+    dbknee = int(T.DBKNEETAB[2])
+    floor = int(T.FLOORTAB[4])
+    fgain = int(T.FGAINTAB[4])
+    hth_row = T.HTH[:, cfg.fscod].astype(np.int32)
+
+    # fixed side-info bit accounting (ac3enc.cpp:881-916); the only dynamic
+    # term is 8 bits per non-REUSE fbw (block, channel) for chbwcod+gainrng
+    fixed = 65 + FRAME_BITS_INC[cfg.acmod]
+    for _ in range(6):
+        fixed += nf * 2 + 2
+        if cfg.acmod == 2:
+            fixed += 1
+        fixed += 2 * nf
+        if cfg.lfe:
+            fixed += 1
+        fixed += 1 + 1 + 2
+    fixed += 1
+    fixed += 2 * 4 + 3 + 6 + nch * (4 + 3)
+    fixed += 2 + 16
+    avail_total = 16 * cfg.frame_size
+
+    nbv = jnp.asarray(np.array(nb, np.int32))
+    bins = np.arange(256)
+
+    def run(samples, last, csnroffst):
+        B = samples.shape[0]
+        cur = samples.reshape(B, 6, 256, nch).transpose(0, 1, 3, 2)  # [B,6,ch,256]
+        prev = jnp.concatenate([last[:, None], cur[:, :5]], axis=1)
+        new_last = cur[:, 5]
+
+        windowed, _, exp_samples = window_norm_block(prev, cur)
+        coef = mdct512(windowed)                          # [B,6,ch,256] i32
+        exp, coef = extract_exponents(coef, exp_samples)
+
+        # --- strategy (ac3enc.cpp:617-668) -------------------------------
+        diff = jnp.sum(jnp.abs(exp[:, 1:] - exp[:, :-1]), axis=-1)  # [B,5,ch]
+        new = jnp.concatenate(
+            [jnp.ones((B, 1, nch), bool), diff > 1000], axis=1)     # [B,6,ch]
+        # next_new[i] = min{j > i : new[j]} (6 if none)
+        nxt_arr = []
+        running = jnp.full((B, nch), 6)
+        for i in range(5, -1, -1):
+            nxt_arr.append(running)
+            running = jnp.where(new[:, i], i, running)
+        nxt_arr = nxt_arr[::-1]                           # next_new per block
+        strat = []
+        for i in range(6):
+            runlen = nxt_arr[i] - i
+            code = jnp.where(runlen == 1, T.EXP_D45,
+                             jnp.where(runlen <= 3, T.EXP_D25, T.EXP_D15))
+            s_i = jnp.where(new[:, i], code, T.EXP_REUSE)
+            if cfg.lfe:
+                s_i = s_i.at[:, nf].set(
+                    jnp.where(new[:, i, nf], EXP_NEW, T.EXP_REUSE))
+            strat.append(s_i)
+        strat = jnp.stack(strat, axis=1)                  # [B,6,ch]
+
+        # --- run id + exponent_min fold (ac3enc.cpp:1730-1749) ------------
+        run_id = []
+        rid = jnp.zeros((B, nch), jnp.int32)
+        for i in range(6):
+            rid = jnp.where(new[:, i], i, rid)
+            run_id.append(rid)
+        run_id = jnp.stack(run_id, axis=1)
+        folded = exp
+        for i in range(6):
+            same = (run_id == run_id[:, i:i + 1])         # [B,6,ch]
+            m = jnp.where(same[..., None], exp, 25)
+            fmin = jnp.min(m, axis=1)                     # [B,ch,256]
+            live = jnp.asarray(bins)[None, None, :] < nbv[None, :, None]
+            folded = folded.at[:, i].set(
+                jnp.where(live, fmin, exp[:, i]))
+
+        # --- encode_exp per strategy (static shapes) -----------------------
+        enc_exp = jnp.zeros_like(exp)
+        exp_bits = jnp.zeros((B,), jnp.int32)
+        for ci in range(nch):
+            nbc = nb[ci]
+            for g, scode in ((1, T.EXP_D15), (2, T.EXP_D25), (4, T.EXP_D45)):
+                if nbc == 7 and g != 1:
+                    continue                              # LFE is D15-only
+                e_s, bits_s = _encode_exp_static(folded[:, :, ci], nbc, g)
+                sel = strat[:, :, ci] == scode
+                enc_exp = enc_exp.at[:, :, ci].set(
+                    jnp.where(sel[..., None], e_s, enc_exp[:, :, ci]))
+                exp_bits = exp_bits + jnp.sum(sel, axis=1) * bits_s
+        # propagate encoded exponents through reuse blocks
+        for i in range(1, 6):
+            reuse = strat[:, i] == T.EXP_REUSE            # [B,ch]
+            enc_exp = enc_exp.at[:, i].set(
+                jnp.where(reuse[..., None], enc_exp[:, i - 1], enc_exp[:, i]))
+
+        # --- masking curve (snroffset-independent) -------------------------
+        live = jnp.asarray(bins)[None, None, None, :] < nbv[None, None, :, None]
+        psd = jnp.where(live, 3072 - (enc_exp << 7), 0)
+        ends = jnp.broadcast_to(nbv, (B, 6, nch))
+        bnd = AL.band_psd(psd, ends)
+        is_lfe = jnp.zeros((B, 6, nch), bool)
+        if cfg.lfe:
+            is_lfe = is_lfe.at[:, :, nf].set(True)
+        exc = AL.excitation(bnd, fgain, sgain, fdecay, sdecay, is_lfe)
+        mask = AL.masking_curve(bnd, exc, dbknee,
+                                jnp.asarray(hth_row)[None, None, None, :])
+
+        # --- frame bit budget ----------------------------------------------
+        fbw_new = strat[:, :, :nf] != T.EXP_REUSE
+        frame_bits = fixed + exp_bits + 8 * jnp.sum(fbw_new, axis=(1, 2))
+        starts = jnp.zeros_like(ends)
+
+        def bits_used(snro):
+            # snro [..., B] broadcastable against [B,6,ch,50]
+            bap = AL.bap_from_mask(psd, mask, snro[..., None, None, None],
+                                   floor, starts, ends)
+            mant = AL.mantissa_bits(bap, ends)            # [..., B, 6]
+            return jnp.sum(mant, axis=-1)
+
+        def fits(c, f):
+            snro = (((c - 15) << 4) + f) << 2
+            return (avail_total - frame_bits - bits_used(snro)) >= 0
+
+        # --- exact replay of the reference SNR walk ------------------------
+        call = jnp.arange(64, dtype=jnp.int32)
+        fits_c = fits(call[:, None], 0)                   # [64, B]
+        # down: c = start, start-4, ... first fitting (must exist)
+        kdown = jnp.arange(17, dtype=jnp.int32)
+        cdown = csnroffst[None, :] - 4 * kdown[:, None]
+        dfits = jnp.take_along_axis(
+            fits_c, jnp.clip(cdown, 0, 63), axis=0) & (cdown >= 0)
+        k0 = jnp.argmax(dfits, axis=0)
+        ok = jnp.any(dfits, axis=0)
+        c0 = jnp.clip(csnroffst - 4 * k0, 0, 63)
+        # up by 4 while fits
+        j = jnp.arange(1, 17, dtype=jnp.int32)
+        cup = c0[None, :] + 4 * j[:, None]
+        ufits = jnp.take_along_axis(fits_c, jnp.clip(cup, 0, 63), axis=0) \
+            & (cup <= 63)
+        c1 = c0 + 4 * _leading_true(ufits)
+        # up by 1 while fits
+        cup1 = c1[None, :] + j[:, None]
+        u1 = jnp.take_along_axis(fits_c, jnp.clip(cup1, 0, 63), axis=0) \
+            & (cup1 <= 63)
+        cstar = c1 + _leading_true(u1)
+        # fine offset: up by 4 then by 1 within 0..15
+        fall = jnp.arange(16, dtype=jnp.int32)
+        fits_f = fits(cstar[None, :], fall[:, None])      # [16, B]
+        f4 = 4 * j[:4][:, None]                            # 4,8,12,16
+        ff = jnp.take_along_axis(fits_f, jnp.clip(f4 + 0, 0, 15), axis=0) \
+            & (f4 <= 15)
+        f1 = 4 * _leading_true(ff)
+        fup1 = f1[None, :] + j[:, None]
+        ff1 = jnp.take_along_axis(fits_f, jnp.clip(fup1, 0, 15), axis=0) \
+            & (fup1 <= 15)
+        fstar = f1 + _leading_true(ff1)
+
+        snro = ((((cstar - 15) << 4) + fstar) << 2)
+        bap = AL.bap_from_mask(psd, mask, snro[:, None, None, None],
+                               floor, starts, ends)
+        qmant = quantize(coef, enc_exp, exp_samples, bap)
+
+        return dict(bap=bap.astype(jnp.int8), qmant=qmant,
+                    enc_exp=enc_exp.astype(jnp.uint8), strat=strat,
+                    csnroffst=cstar, fsnroffst=fstar, ok=ok,
+                    new_last=new_last, new_csnr=cstar)
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# public encoder
+# ---------------------------------------------------------------------------
+
+class Encoder:
+    """AC3_encode_init / AC3_encode_frame parity, reentrant & batchable.
+
+    >>> enc = Encoder(48000, 192000, 2)
+    >>> frames = enc.encode(pcm_int16)     # pcm [n*1536, nch] interleaved
+    """
+
+    def __init__(self, freq: int, bitrate: int, channels: int,
+                 chmap=None):
+        self.cfg = make_config(freq, bitrate, channels)
+        self.chmap = np.arange(channels) if chmap is None else np.asarray(chmap)
+        self.last = np.zeros((1, channels, 256), np.int32)
+        self.csnroffst = np.array([40], np.int32)
+        self._fn = encode_pipeline(self.cfg)
+
+    @property
+    def frame_bytes(self) -> int:
+        return self.cfg.frame_size * 2
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """pcm int16 [nsamples, nch] (interleaved rows); whole frames only."""
+        pcm = np.asarray(pcm)
+        nfr = pcm.shape[0] // T.FRAME_SAMPLES
+        out = bytearray()
+        for i in range(nfr):
+            chunk = pcm[i * 1536:(i + 1) * 1536][:, self.chmap].astype(np.int32)
+            res = self._fn(chunk[None], self.last, self.csnroffst)
+            res = {k: np.asarray(v) for k, v in res.items()}
+            if not res["ok"][0]:
+                raise RuntimeError("rate control failed (frame too small)")
+            self.last = res["new_last"]
+            self.csnroffst = res["new_csnr"]
+            out += PK.pack_frame(self.cfg, res, 0)
+        return bytes(out)

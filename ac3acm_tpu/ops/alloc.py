@@ -1,0 +1,189 @@
+"""Device-side parametric bit allocation (A/52 §7.2.2), fully vectorized.
+
+Same algorithm as the host allocator (ac3acm_tpu.host.alloc -- itself fuzzed
+bit-for-bit against liba52's a52_bit_allocate), restructured for the VPU:
+
+  * band PSD integration: the sequential in-band log-add fold becomes a
+    23-step vectorized fold over a [.., 50, 24] padded layout,
+  * the leak/excitation recursion: a lax.scan over the 50 bands carrying
+    (fastleak, slowleak, lowcomp, startup-state) per batch element,
+  * mask -> bap: pure gathers.
+
+The encoder's rate-control evaluates the *mask-independent* part once and
+then maps mask -> bap -> bit cost for all 64 coarse x 16 fine SNR offsets
+in parallel (replacing the reference's sequential hill climb,
+ac3enc.cpp:918-975, with identical results -- the walk over precomputed
+costs is replayed exactly on the host).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+
+
+@lru_cache(maxsize=1)
+def _band_layout():
+    """Padded [50, 24] bin-index layout plus in-band position masks."""
+    idx = np.zeros((50, 24), np.int32)
+    valid = np.zeros((50, 24), bool)
+    for b in range(50):
+        sz = int(T.BNDSZ[b])
+        start = int(T.BNDTAB[b])
+        idx[b, :sz] = np.arange(start, start + sz)
+        valid[b, :sz] = True
+    return idx, valid
+
+
+def band_psd(psd, end):
+    """psd [..., 256] int32 -> bndpsd [..., 50] int32 (log-add fold).
+
+    `end` [...]: first excluded bin (bins >= end ignored).
+    """
+    idx, valid = _band_layout()
+    lat = jnp.asarray(T.LATAB.astype(np.int32))
+    p = psd[..., idx]                                   # [..., 50, 24]
+    ok = valid & (idx < end[..., None, None])
+    v = p[..., 0]
+    for k in range(1, 24):
+        nxt = p[..., k]
+        c = v - nxt
+        adr = jnp.minimum(jnp.abs(c) >> 1, 255)
+        la = lat[adr]
+        fold = jnp.where(c >= 0, v + la, nxt + la)
+        v = jnp.where(ok[..., k], fold, v)
+    return v
+
+
+def _calc_lowcomp(a, b0, b1, binno):
+    """Vector calc_lowcomp (band index is a traced scalar)."""
+    up256 = (b0 + 256) == b1
+    dec = jnp.maximum(a - 64, 0)
+    lt7 = jnp.where(up256, 384, jnp.where(b0 > b1, dec, a))
+    lt20 = jnp.where(up256, 320, jnp.where(b0 > b1, dec, a))
+    ge20 = jnp.maximum(a - 128, 0)
+    return jnp.where(binno < 7, lt7, jnp.where(binno < 20, lt20, ge20))
+
+
+def excitation(bndpsd, fgain, sgain, fdecay, sdecay, is_lfe,
+               bndstrt=None, cplfleak=None, cplsleak=None):
+    """bndpsd [..., 50] -> excite [..., 50].
+
+    fgain may be [...] (per batch element); sgain/fdecay/sdecay are scalars
+    or [...].  When bndstrt is given (coupling channel), the startup region
+    is skipped and leaks start from the cpl leak-init codes.
+    """
+    shp = bndpsd.shape[:-1]
+    nxt = jnp.concatenate([bndpsd[..., 1:], bndpsd[..., -1:]], axis=-1)
+    coupled = bndstrt is not None
+    if coupled:
+        fl0 = (cplfleak << 8) + 768
+        sl0 = (cplsleak << 8) + 768
+    else:
+        fl0 = jnp.zeros(shp, jnp.int32)
+        sl0 = jnp.zeros(shp, jnp.int32)
+
+    def step(carry, b):
+        fast, slow, lowcomp, startup = carry
+        bp = bndpsd[..., b]
+        bn = nxt[..., b]
+        skip_lc = is_lfe & (b == 6)
+
+        if coupled:
+            in_region = b >= bndstrt
+            fast = jnp.where(in_region,
+                             jnp.maximum(fast - fdecay, bp - fgain), fast)
+            slow = jnp.where(in_region,
+                             jnp.maximum(slow - sdecay, bp - sgain), slow)
+            exc = jnp.where(in_region, jnp.maximum(fast, slow), 0)
+            return (fast, slow, lowcomp, startup), exc
+
+        # full-bandwidth channel: startup bins 0..6 then leak region
+        lc_new = jnp.where(skip_lc, lowcomp, _calc_lowcomp(lowcomp, bp, bn, b))
+        is01 = b < 2
+        exc01 = bp - fgain - lc_new
+
+        # startup bins 2..6: fresh leaks, excite = fast - lowcomp
+        fresh_fast = bp - fgain
+        fresh_slow = bp - sgain
+        exc_startup = fresh_fast - lc_new
+        leave = (~skip_lc) & (bp <= bn)          # begin = b+1
+
+        # leak region (b >= begin): decay
+        dec_fast = jnp.maximum(fast - fdecay, bp - fgain)
+        dec_slow = jnp.maximum(slow - sdecay, bp - sgain)
+        exc_leak = jnp.where(b < 22,
+                             jnp.maximum(dec_fast - lc_new, dec_slow),
+                             jnp.maximum(dec_fast, dec_slow))
+
+        in_startup = startup & (b < 7)
+        exc = jnp.where(is01, exc01,
+                        jnp.where(in_startup, exc_startup, exc_leak))
+        fast = jnp.where(is01, fast,
+                         jnp.where(in_startup, fresh_fast, dec_fast))
+        slow = jnp.where(is01, slow,
+                         jnp.where(in_startup, fresh_slow, dec_slow))
+        # lowcomp only participates below band 22; past it the scan value
+        # is unused (exc_leak ignores it), matching the reference flow
+        lowcomp = lc_new
+        startup = startup & jnp.where(is01, True, ~(in_startup & leave)) \
+            & (b < 6)
+        return (fast, slow, lowcomp, startup), exc
+
+    init = (fl0, sl0, jnp.zeros(shp, jnp.int32), jnp.ones(shp, bool))
+    _, exc = jax.lax.scan(step, init, jnp.arange(50))
+    return jnp.moveaxis(exc, 0, -1)
+
+
+def masking_curve(bndpsd, excite, dbknee, hth_row, deltba=None):
+    """excite -> mask [..., 50].  hth_row: [..., 50] already fscod/halfrate
+    resolved.  deltba: [..., 50] values in {-4..4} (0 = none)."""
+    tmp = dbknee - bndpsd
+    v1 = excite + jnp.where(tmp > 0, tmp >> 2, 0)
+    mask = jnp.maximum(v1, hth_row)
+    if deltba is not None:
+        mask = mask + (deltba.astype(jnp.int32) << 7)
+    return mask
+
+
+def bap_from_mask(psd, mask, snroffset, floor, start, end):
+    """mask [..., 50] + psd [..., 256] -> bap [..., 256] (spec classes).
+
+    snroffset may broadcast with extra leading axes (the parallel SNR
+    search); start/end are [...] bin bounds.
+    """
+    v = mask - snroffset - floor
+    v = jnp.where(v < 0, 0, v)
+    v = (v & 0x1FE0) + floor
+    vbin = v[..., jnp.asarray(T.MASKTAB)]                 # [..., 253]
+    pad = jnp.zeros(vbin.shape[:-1] + (3,), vbin.dtype)
+    vbin = jnp.concatenate([vbin, pad], axis=-1)
+    address = jnp.clip((psd - vbin) >> 5, 0, 63)
+    bap = jnp.asarray(T.BAPTAB)[address]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (256,), 0)
+    live = (bins >= start[..., None]) & (bins < end[..., None])
+    return jnp.where(live, bap, 0).astype(jnp.int8)
+
+
+def mantissa_bits(bap, end):
+    """Per-(batch)-block mantissa bit cost with grouped-class sharing.
+
+    bap [..., C, 256]: C channels whose group counters share one block
+    (ac3enc.cpp:764-810 semantics -- counters carry across channels within
+    a block and reset per block).  end [..., C].  Returns bits [...].
+    """
+    bins = jax.lax.broadcasted_iota(jnp.int32, (256,), 0)
+    live = bins < end[..., None]
+    def count(cls):
+        return jnp.sum(jnp.where(live & (bap == cls), 1, 0), axis=(-1, -2))
+    n1, n2, n3, n4 = count(1), count(2), count(3), count(4)
+    bits = 5 * ((n1 + 2) // 3) + 7 * ((n2 + 2) // 3) + 3 * n3 \
+        + 7 * ((n4 + 1) // 2)
+    for cls in range(5, 16):
+        w = int(T.BAP_BITS[cls])
+        bits = bits + w * count(cls)
+    return bits

@@ -56,6 +56,25 @@ int ref_encode_init(int freq, int bitrate, int channels) {
 int ref_encode_frame(unsigned char *dst, short *samples, unsigned char *chmap) {
     return AC3_encode_frame(dst, samples, chmap);
 }
+// direct MDCT probe (call ref_encode_init first to build the twiddles)
+void ref_mdct512(int *out, short *in) { mdct512(out, in); }
+// the reference encoder keeps state in a static global; clear it so
+// successive oracle uses start fresh like a new driver instance would
+void ref_encode_reset() { memset(&ac3enc_state, 0, sizeof(ac3enc_state)); }
+// encoder-side allocator probe
+void ref_enc_bit_alloc(unsigned char *bap_out, signed char *expv,
+                       int start, int end, int snroffset, int fgain,
+                       int is_lfe, int fscod, int halfratecod,
+                       int sdecay, int fdecay, int sgain, int dbknee,
+                       int floorv) {
+    AC3BitAllocParameters p;
+    p.fscod = fscod; p.halfratecod = halfratecod;
+    p.sdecay = sdecay; p.fdecay = fdecay; p.sgain = sgain;
+    p.dbknee = dbknee; p.floor = floorv; p.cplfleak = 0; p.cplsleak = 0;
+    ac3_common_init();
+    ac3_parametric_bit_allocation(&p, bap_out, expv, start, end, snroffset,
+                                  fgain, is_lfe, 2, 0, NULL, NULL, NULL);
+}
 }
 
 // Decoder-side bit-allocation probe (drives liba52's a52_bit_allocate on a
@@ -97,7 +116,7 @@ def build() -> Path:
     so = BUILD / "libref.so"
     stamp = BUILD / "stamp"
     srcs = sorted((REF / "liba52").glob("*.c")) + [REF_ENC / "ac3enc.cpp"]
-    sig = "|".join(f"{s}:{s.stat().st_mtime}" for s in srcs) + "v7"
+    sig = "|".join(f"{s}:{s.stat().st_mtime}" for s in srcs) + "v9"
     if so.exists() and stamp.exists() and stamp.read_text() == sig:
         return so
 
@@ -233,6 +252,7 @@ class RefLib:
         import numpy as np
         pcm = np.ascontiguousarray(pcm, dtype=np.int16)
         nch = pcm.shape[1]
+        self.lib.ref_encode_reset()
         fs = self.lib.ref_encode_init(freq, bitrate * 1000, nch)
         assert fs > 0, "ref encoder init failed"
         chmap = (ctypes.c_ubyte * nch)(*range(nch))
