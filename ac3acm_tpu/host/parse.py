@@ -380,6 +380,7 @@ class FrameData:
     output: int
     nfchans: int
     bias: np.float32
+    slev: np.float32
     blocks: list
 
 
@@ -448,7 +449,7 @@ class A52Parser:
         blocks = [self._block(br) for _ in range(T.NB_BLOCKS)]
         return FrameData(acmod=s.acmod, lfeon=s.lfeon, output=s.output,
                          nfchans=int(T.NFCHANS[s.acmod]), bias=s.bias,
-                         blocks=blocks)
+                         slev=s.slev, blocks=blocks)
 
     # -- dither ------------------------------------------------------------
     def _dither(self) -> np.float32:

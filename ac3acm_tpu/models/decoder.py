@@ -187,21 +187,23 @@ class Decoder:
         """Decode a list of raw frames; returns float32 [nblk, nch_out, 256]."""
         frames = [self.parser.decode_frame(fb, flags, level, bias)
                   for fb in frames_bytes]
-        s = self.parser.s
-        fmt = StreamFormat(
-            acmod=s.acmod, output=s.output,
-            slev_zero=bool(s.slev == 0.0),
-            chanbias=int(P.downmix_coeff(s.acmod, s.output, 1.0,
-                                         s.clev, s.slev)[1]))
-        if self._carry is None or fmt != self._fmt:
-            self._carry = init_carry()
-            self._fmt = fmt
-        # fixed 6-block (one frame) device steps: one compiled shape total
-        fn = block_pipeline(fmt)
+        # format is per frame (acmod / output / slev can change mid-stream);
+        # the carry (OLA delay + downmixed flag) persists across formats,
+        # exactly like the reference's single a52_state_t
         outs = []
+        fmt = None
         for f in frames:
+            fmt = StreamFormat(
+                acmod=f.acmod, output=f.output,
+                slev_zero=bool(f.slev == 0.0),
+                chanbias=int(P.downmix_coeff(
+                    f.acmod, f.output, 1.0,
+                    np.float32(0.5), f.slev)[1]))
+            if self._carry is None:
+                self._carry = init_carry()
+            self._fmt = fmt
             blocks = _stack_blocks([f])
-            self._carry, pcm = fn(self._carry, blocks)
+            self._carry, pcm = block_pipeline(fmt)(self._carry, blocks)
             outs.append(np.asarray(pcm))
         return np.concatenate(outs, axis=0), fmt
 
