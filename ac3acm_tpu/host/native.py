@@ -1,0 +1,155 @@
+"""ctypes bindings for the native host pre-pass (native/ac3host.cpp).
+
+Builds the shared library on demand (g++ -O3), installs the generated
+tables from ac3acm_tpu.tables (single source of truth), and exposes a
+NativeParser with the same decode_frame contract as the pure-Python
+A52Parser -- they are cross-checked in tests and interchangeable.  ctypes
+releases the GIL during calls, so N streams parse on N threads.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .. import tables as T
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(_HERE, "..", "..", "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class FrameOut(C.Structure):
+    _fields_ = [
+        ("q", C.c_float * 256 * 6 * 6),
+        ("a", C.c_float * 256 * 6 * 6),
+        ("b", C.c_float * 256 * 6 * 6),
+        ("blksw", C.c_uint8 * 5 * 6),
+        ("coeff", C.c_float * 5 * 6),
+        ("remat", C.c_uint8 * 256 * 6),
+        ("chanbias", C.c_int32),
+        ("acmod", C.c_int32),
+        ("lfeon", C.c_int32),
+        ("output", C.c_int32),
+        ("nfchans", C.c_int32),
+        ("slev", C.c_float),
+        ("bias", C.c_float),
+    ]
+
+
+def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    src = os.path.join(_NATIVE_DIR, "ac3host.cpp")
+    so = os.path.join(_BUILD_DIR, "libac3host.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", so],
+            check=True, capture_output=True, text=True)
+    return so
+
+
+def _i32(x):
+    return np.ascontiguousarray(x, dtype=np.int32)
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        lib = C.CDLL(_build())
+        lib.ac3h_new.restype = C.c_void_p
+        lib.ac3h_free.argtypes = [C.c_void_p]
+        lib.ac3h_set_drc.argtypes = [C.c_void_p, C.c_int]
+        lib.ac3h_syncinfo.restype = C.c_int
+        lib.ac3h_frame.restype = C.c_int
+        lib.ac3h_frame.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
+                                   C.c_float, C.c_float, C.POINTER(FrameOut)]
+        lib.ac3h_frames.restype = C.c_int
+        lib.ac3h_frames.argtypes = [C.c_void_p, C.c_char_p, C.c_int64,
+                                    C.c_int, C.c_int, C.c_float, C.c_float,
+                                    C.POINTER(FrameOut),
+                                    C.POINTER(C.c_int32)]
+
+        f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
+        hth = _i32(T.HTH)                       # [50][3]
+        latab = _i32(np.concatenate([T.LATAB, np.zeros(0, np.int32)]))
+        args = [
+            latab, hth, np.ascontiguousarray(T.BAPTAB, np.int8),
+            _i32(T.BNDTAB), _i32(T.BNDSZ), _i32(T.MASKTAB),
+            f32(T.SCALE_FACTOR), f32(T.Q_1_0), f32(T.Q_1_1), f32(T.Q_1_2),
+            f32(T.Q_2_0), f32(T.Q_2_1), f32(T.Q_2_2), f32(T.Q_3),
+            f32(T.Q_4_0), f32(T.Q_4_1), f32(T.Q_5),
+            np.ascontiguousarray(T.dither_lut(), np.uint16),
+            _i32(T.SDECAYTAB), _i32(T.FDECAYTAB), _i32(T.SGAINTAB),
+            _i32(T.DBKNEETAB), _i32(T.FLOORTAB), _i32(T.FGAINTAB),
+            np.ascontiguousarray(T.EXP_1, np.int8),
+            np.ascontiguousarray(T.EXP_2, np.int8),
+            np.ascontiguousarray(T.EXP_3, np.int8),
+            _i32(T.CPL_BNDTAB), _i32(T.BAP_BITS),
+        ]
+        lib._table_refs = args                  # keep alive
+        lib.ac3h_init(*[a.ctypes.data_as(C.c_void_p) for a in args])
+        _lib = lib
+        return lib
+
+
+class NativeParser:
+    """Per-stream native parser (mirrors host.parse.A52Parser outputs)."""
+
+    def __init__(self):
+        self.lib = get_lib()
+        self._p = self.lib.ac3h_new()
+
+    def __del__(self):
+        if getattr(self, "_p", None):
+            self.lib.ac3h_free(self._p)
+            self._p = None
+
+    def set_drc_enabled(self, enabled: bool):
+        self.lib.ac3h_set_drc(self._p, int(enabled))
+
+    def decode_frames_raw(self, buf: bytes, nframes: int, flags: int,
+                          level: float = 1.0, bias: float = 0.0):
+        """Parse up to nframes from buf.  Returns (n, FrameOut array)."""
+        outs = (FrameOut * nframes)()
+        sizes = (C.c_int32 * nframes)()
+        n = self.lib.ac3h_frames(self._p, buf, len(buf), nframes, flags,
+                                 level, bias, outs, sizes)
+        return n, outs
+
+    def decode_frames(self, buf: bytes, nframes: int, flags: int,
+                      level: float = 1.0, bias: float = 0.0):
+        """Parse and return device-ready stacked block tensors.
+
+        Returns (blocks dict with [nblk, ...] arrays, meta dict) or None.
+        """
+        n, outs = self.decode_frames_raw(buf, nframes, flags, level, bias)
+        if n == 0:
+            return None
+        view = np.ctypeslib.as_array(outs)[:n]      # structured array view
+        blocks = {
+            "q": view["q"].reshape(n * 6, 6, 256).copy(),
+            "a": view["a"].reshape(n * 6, 6, 256).copy(),
+            "b": view["b"].reshape(n * 6, 6, 256).copy(),
+            "blksw": view["blksw"].reshape(n * 6, 5).astype(bool),
+            "coeff": view["coeff"].reshape(n * 6, 5).copy(),
+            "remat": view["remat"].reshape(n * 6, 256).astype(bool),
+            "bias": np.repeat(view["bias"], 6).astype(np.float32),
+        }
+        meta = {
+            "acmod": int(view["acmod"][-1]),
+            "lfeon": int(view["lfeon"][-1]),
+            "output": int(view["output"][-1]),
+            "nfchans": int(view["nfchans"][-1]),
+            "slev": float(view["slev"][-1]),
+            "chanbias": int(view["chanbias"][-1]),
+        }
+        return blocks, meta

@@ -1,0 +1,1064 @@
+// TPU-native AC-3 framework: native host pre-pass.
+//
+// The serial, bit-granular half of the decoder (syncinfo, BSI/side-info
+// parse, spec-form bit allocation, mantissa-code extraction, dither LFSR)
+// implemented as a C ABI shared library.  Python drives it via ctypes and
+// feeds the dense (q, a, b) block tensors it emits straight to the TPU
+// pipeline.  One parser instance per stream; instances are independent, so
+// the host fans streams out across threads (the GIL is released during
+// calls).
+//
+// Behavioural parity: liba52 parse.c / bit_allocate.c / downmix.c (decode
+// semantics only -- this is an original implementation mirroring the
+// project's Python host parser, cross-checked bit-for-bit in tests).
+//
+// Build: g++ -O3 -march=native -fPIC -shared ac3host.cpp -o libac3host.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+// ---------------------------------------------------------------------------
+// constants & tables (generated at init, mirroring ac3acm_tpu/tables.py)
+// ---------------------------------------------------------------------------
+
+#define A52_CHANNEL 0
+#define A52_MONO 1
+#define A52_STEREO 2
+#define A52_3F 3
+#define A52_2F1R 4
+#define A52_3F1R 5
+#define A52_2F2R 6
+#define A52_3F2R 7
+#define A52_CHANNEL1 8
+#define A52_CHANNEL2 9
+#define A52_DOLBY 10
+#define A52_CHANNEL_MASK 15
+#define A52_LFE 16
+#define A52_ADJUST_LEVEL 32
+
+#define EXP_REUSE 0
+#define DELTA_BIT_NEW 1
+#define DELTA_BIT_NONE 2
+
+static const int NFCHANS_TBL[11] = {2, 1, 2, 3, 3, 4, 4, 5, 1, 1, 2};
+static const int REMATRIX_BAND[4] = {25, 37, 61, 253};
+static const int RATE_TBL[19] = {32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                                 192, 224, 256, 320, 384, 448, 512, 576, 640};
+static const int HALFRATE_TBL[12] = {0,0,0,0,0,0,0,0,0,1,2,3};
+
+// spec tables, installed from Python at init time (single source of truth)
+static int32_t g_latab[260];
+static int32_t g_hth[50][3];
+static int8_t  g_baptab[64];
+static int32_t g_bndtab[51];
+static int32_t g_bndsz[50];
+static int32_t g_masktab[256];
+static float   g_scale[25];
+static float   g_q10[32], g_q11[32], g_q12[32];
+static float   g_q20[128], g_q21[128], g_q22[128];
+static float   g_q3[8], g_q40[128], g_q41[128], g_q5[16];
+static uint16_t g_ditherlut[256];
+static int32_t g_sdecay[4], g_fdecay[4], g_sgain[4], g_dbknee[4];
+static int32_t g_floor[8], g_fgain[8];
+static int8_t  g_exp1[128], g_exp2[128], g_exp3[128];
+static int32_t g_cplbnd[16];
+static int32_t g_bapbits[16];
+
+extern "C" void ac3h_init(
+    const int32_t* latab, const int32_t* hth, const int8_t* baptab,
+    const int32_t* bndtab, const int32_t* bndsz, const int32_t* masktab,
+    const float* scale, const float* q10, const float* q11, const float* q12,
+    const float* q20, const float* q21, const float* q22, const float* q3,
+    const float* q40, const float* q41, const float* q5,
+    const uint16_t* ditherlut, const int32_t* sdecay, const int32_t* fdecay,
+    const int32_t* sgain, const int32_t* dbknee, const int32_t* floortab,
+    const int32_t* fgain, const int8_t* exp1, const int8_t* exp2,
+    const int8_t* exp3, const int32_t* cplbnd, const int32_t* bapbits)
+{
+    memcpy(g_latab, latab, sizeof(g_latab));
+    memcpy(g_hth, hth, sizeof(g_hth));
+    memcpy(g_baptab, baptab, sizeof(g_baptab));
+    memcpy(g_bndtab, bndtab, sizeof(g_bndtab));
+    memcpy(g_bndsz, bndsz, sizeof(g_bndsz));
+    memcpy(g_masktab, masktab, 253 * 4);
+    memcpy(g_scale, scale, sizeof(g_scale));
+    memcpy(g_q10, q10, sizeof(g_q10));  memcpy(g_q11, q11, sizeof(g_q11));
+    memcpy(g_q12, q12, sizeof(g_q12));  memcpy(g_q20, q20, sizeof(g_q20));
+    memcpy(g_q21, q21, sizeof(g_q21));  memcpy(g_q22, q22, sizeof(g_q22));
+    memcpy(g_q3, q3, sizeof(g_q3));     memcpy(g_q40, q40, sizeof(g_q40));
+    memcpy(g_q41, q41, sizeof(g_q41));  memcpy(g_q5, q5, sizeof(g_q5));
+    memcpy(g_ditherlut, ditherlut, sizeof(g_ditherlut));
+    memcpy(g_sdecay, sdecay, sizeof(g_sdecay));
+    memcpy(g_fdecay, fdecay, sizeof(g_fdecay));
+    memcpy(g_sgain, sgain, sizeof(g_sgain));
+    memcpy(g_dbknee, dbknee, sizeof(g_dbknee));
+    memcpy(g_floor, floortab, sizeof(g_floor));
+    memcpy(g_fgain, fgain, sizeof(g_fgain));
+    memcpy(g_exp1, exp1, sizeof(g_exp1));
+    memcpy(g_exp2, exp2, sizeof(g_exp2));
+    memcpy(g_exp3, exp3, sizeof(g_exp3));
+    memcpy(g_cplbnd, cplbnd, sizeof(g_cplbnd));
+    memcpy(g_bapbits, bapbits, sizeof(g_bapbits));
+}
+
+// ---------------------------------------------------------------------------
+// bit reader (MSB-first)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+    const uint8_t* buf;
+    int64_t pos;          // bit position
+
+    inline uint32_t read(int n) {
+        uint32_t acc = 0;
+        int64_t p = pos;
+        pos += n;
+        int byte0 = (int)(p >> 3);
+        int nbytes = (int)(((p & 7) + n + 7) >> 3);
+        for (int i = 0; i < nbytes; i++) acc = (acc << 8) | buf[byte0 + i];
+        acc >>= (8 * nbytes - (p & 7) - n);
+        return n >= 32 ? acc : (acc & ((1u << n) - 1));
+    }
+    inline int32_t read_signed(int n) {
+        int32_t v = (int32_t)read(n);
+        if (v >= (1 << (n - 1))) v -= (1 << n);
+        return v;
+    }
+    inline void skip(int n) { pos += n; }
+};
+
+// ---------------------------------------------------------------------------
+// spec-form parametric bit allocation (port of host/alloc.py)
+// ---------------------------------------------------------------------------
+
+static inline int logadd(int a, int b) {
+    int c = a - b;
+    int adr = (c >= 0 ? c : -c) >> 1;
+    if (adr > 255) adr = 255;
+    return (c >= 0 ? a : b) + g_latab[adr];
+}
+
+static inline int calc_lowcomp(int a, int b0, int b1, int bin) {
+    if (bin < 7) {
+        if (b0 + 256 == b1) return 384;
+        if (b0 > b1) { a -= 64; return a < 0 ? 0 : a; }
+        return a;
+    }
+    if (bin < 20) {
+        if (b0 + 256 == b1) return 320;
+        if (b0 > b1) { a -= 64; return a < 0 ? 0 : a; }
+        return a;
+    }
+    a -= 128;
+    return a < 0 ? 0 : a;
+}
+
+struct AllocParams {
+    int sdecay, fdecay, sgain, dbknee, floorv;
+    int fscod, halfratecod;
+};
+
+static void bit_allocate(const uint8_t* exp, int start, int end,
+                         int snroffset, int fgain, const AllocParams& P,
+                         bool is_lfe, int cplfleak, int cplsleak,
+                         const int8_t* deltba, int8_t* bap)
+{
+    memset(bap, 0, 256);
+    if (end <= start) return;
+    int psd[256];
+    for (int i = start; i < end; i++) psd[i] = 3072 - (exp[i] << 7);
+
+    int bndstrt = g_masktab[start];
+    int bndend = g_masktab[end - 1] + 1;
+    int bndpsd[50] = {0};
+    {
+        int j = start;
+        for (int k = bndstrt; k < bndend; k++) {
+            int v = psd[j++];
+            int lim = g_bndtab[k + 1] < end ? g_bndtab[k + 1] : end;
+            while (j < lim) v = logadd(v, psd[j++]);
+            bndpsd[k] = v;
+        }
+    }
+
+    int excite[50] = {0};
+    int fastleak = 0, slowleak = 0;
+    int begin;
+    if (bndstrt == 0) {
+        int lowcomp = calc_lowcomp(0, bndpsd[0], bndpsd[1], 0);
+        excite[0] = bndpsd[0] - fgain - lowcomp;
+        lowcomp = calc_lowcomp(lowcomp, bndpsd[1], bndpsd[2], 1);
+        excite[1] = bndpsd[1] - fgain - lowcomp;
+        begin = 7;
+        for (int b = 2; b < 7; b++) {
+            if (!(is_lfe && b == 6))
+                lowcomp = calc_lowcomp(lowcomp, bndpsd[b], bndpsd[b + 1], b);
+            fastleak = bndpsd[b] - fgain;
+            slowleak = bndpsd[b] - P.sgain;
+            excite[b] = fastleak - lowcomp;
+            if (!(is_lfe && b == 6) && bndpsd[b] <= bndpsd[b + 1]) {
+                begin = b + 1;
+                break;
+            }
+        }
+        int end1 = bndend < 22 ? bndend : 22;
+        for (int b = begin; b < end1; b++) {
+            if (!(is_lfe && b == 6))
+                lowcomp = calc_lowcomp(lowcomp, bndpsd[b], bndpsd[b + 1], b);
+            fastleak -= P.fdecay;
+            if (fastleak < bndpsd[b] - fgain) fastleak = bndpsd[b] - fgain;
+            slowleak -= P.sdecay;
+            if (slowleak < bndpsd[b] - P.sgain) slowleak = bndpsd[b] - P.sgain;
+            int v = fastleak - lowcomp;
+            if (slowleak > v) v = slowleak;
+            excite[b] = v;
+        }
+        begin = 22;
+    } else {
+        begin = bndstrt;
+        fastleak = (cplfleak << 8) + 768;
+        slowleak = (cplsleak << 8) + 768;
+    }
+    for (int b = begin; b < bndend; b++) {
+        fastleak -= P.fdecay;
+        if (fastleak < bndpsd[b] - fgain) fastleak = bndpsd[b] - fgain;
+        slowleak -= P.sdecay;
+        if (slowleak < bndpsd[b] - P.sgain) slowleak = bndpsd[b] - P.sgain;
+        excite[b] = fastleak > slowleak ? fastleak : slowleak;
+    }
+
+    int mask[50];
+    for (int b = bndstrt; b < bndend; b++) {
+        int v1 = excite[b];
+        int tmp = P.dbknee - bndpsd[b];
+        if (tmp > 0) v1 += tmp >> 2;
+        int h = g_hth[b >> P.halfratecod][P.fscod];
+        mask[b] = v1 > h ? v1 : h;
+        if (deltba) mask[b] += ((int)deltba[b]) << 7;
+    }
+
+    int i = start;
+    for (int k = bndstrt; k < bndend; k++) {
+        int v = mask[k] - snroffset - P.floorv;
+        if (v < 0) v = 0;
+        v = (v & 0x1FE0) + P.floorv;
+        int lim = g_bndtab[k] + g_bndsz[k];
+        if (lim > end) lim = end;
+        for (; i < lim; i++) {
+            int address = (psd[i] - v) >> 5;
+            if (address < 0) address = 0;
+            else if (address > 63) address = 63;
+            bap[i] = g_baptab[address];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// downmix negotiation & coefficients (decode semantics of downmix.c)
+// ---------------------------------------------------------------------------
+
+static const double LEVEL_3DB_D = 0.7071067811865476;
+static const double LEVEL_45DB_D = 0.5946035575013605;
+static const double LEVEL_P3DB_D = 1.4142135623730951;
+
+static const uint8_t DM_TABLE[11][8] = {
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_STEREO, A52_STEREO, A52_STEREO, A52_STEREO, A52_STEREO},
+    {A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_STEREO, A52_STEREO, A52_STEREO, A52_STEREO, A52_STEREO},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_3F, A52_STEREO, A52_3F, A52_STEREO, A52_3F},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_STEREO, A52_2F1R, A52_2F1R, A52_2F1R, A52_2F1R},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_STEREO, A52_2F1R, A52_3F1R, A52_2F1R, A52_3F1R},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_3F, A52_2F2R, A52_2F2R, A52_2F2R, A52_2F2R},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_3F, A52_2F2R, A52_3F2R, A52_2F2R, A52_3F2R},
+    {A52_CHANNEL1, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO},
+    {A52_CHANNEL2, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO, A52_MONO},
+    {A52_CHANNEL, A52_DOLBY, A52_STEREO, A52_DOLBY, A52_DOLBY, A52_DOLBY, A52_DOLBY, A52_DOLBY},
+};
+
+#define CVT(a, b) (((b) << 3) + (a))
+
+static int downmix_init(int input, int flags, float* level,
+                        float clev, float slev)
+{
+    int output = flags & A52_CHANNEL_MASK;
+    if (output > A52_DOLBY) return -1;
+    output = DM_TABLE[output][input & 7];
+    if (output == A52_STEREO &&
+        (input == A52_DOLBY ||
+         (input == A52_3F && clev == (float)LEVEL_3DB_D)))
+        output = A52_DOLBY;
+
+    if (flags & A52_ADJUST_LEVEL) {
+        double c = clev, s = slev;
+        double adjust;
+        bool have = true;
+        switch (CVT(input & 7, output)) {
+        case CVT(A52_3F, A52_MONO): adjust = LEVEL_3DB_D / (1.0 + c); break;
+        case CVT(A52_STEREO, A52_MONO):
+        case CVT(A52_2F2R, A52_2F1R):
+        case CVT(A52_3F2R, A52_3F1R): adjust = LEVEL_3DB_D; break;
+        case CVT(A52_3F2R, A52_2F1R):
+            if (c < LEVEL_P3DB_D - 1.0) { adjust = LEVEL_3DB_D; break; }
+            adjust = 1.0 / (1.0 + c); break;
+        case CVT(A52_3F, A52_STEREO):
+        case CVT(A52_3F1R, A52_2F1R):
+        case CVT(A52_3F1R, A52_2F2R):
+        case CVT(A52_3F2R, A52_2F2R): adjust = 1.0 / (1.0 + c); break;
+        case CVT(A52_2F1R, A52_MONO): adjust = LEVEL_P3DB_D / (2.0 + s); break;
+        case CVT(A52_2F1R, A52_STEREO):
+        case CVT(A52_3F1R, A52_3F):
+            adjust = 1.0 / (1.0 + (float)((float)s * LEVEL_3DB_D)); break;
+        case CVT(A52_3F1R, A52_MONO):
+            adjust = LEVEL_3DB_D / (1.0 + c + (float)((float)s * 0.5)); break;
+        case CVT(A52_3F1R, A52_STEREO):
+            adjust = 1.0 / (1.0 + c + (float)((float)s * LEVEL_3DB_D)); break;
+        case CVT(A52_2F2R, A52_MONO): adjust = LEVEL_3DB_D / (1.0 + s); break;
+        case CVT(A52_2F2R, A52_STEREO):
+        case CVT(A52_3F2R, A52_3F): adjust = 1.0 / (1.0 + s); break;
+        case CVT(A52_3F2R, A52_MONO):
+            adjust = LEVEL_3DB_D / (1.0 + c + s); break;
+        case CVT(A52_3F2R, A52_STEREO): adjust = 1.0 / (1.0 + c + s); break;
+        case CVT(A52_MONO, A52_DOLBY): adjust = LEVEL_P3DB_D; break;
+        case CVT(A52_3F, A52_DOLBY):
+        case CVT(A52_2F1R, A52_DOLBY): adjust = 1.0 / (1.0 + LEVEL_3DB_D); break;
+        case CVT(A52_3F1R, A52_DOLBY):
+        case CVT(A52_2F2R, A52_DOLBY):
+            adjust = 1.0 / (1.0 + 2.0 * LEVEL_3DB_D); break;
+        case CVT(A52_3F2R, A52_DOLBY):
+            adjust = 1.0 / (1.0 + 3.0 * LEVEL_3DB_D); break;
+        default: have = false; break;
+        }
+        if (have) *level = (float)((double)(float)*level * (double)(float)adjust);
+    }
+    return output;
+}
+
+// coeff[5] + chanbias; float32 semantics with double-constant promotions
+static int downmix_coeff(float* coeff, int acmod, int output, float level,
+                         float clev, float slev)
+{
+    float lvl3 = (float)((double)level * LEVEL_3DB_D);
+    for (int i = 0; i < 5; i++) coeff[i] = 0.0f;
+    auto mul = [](float a, float b) { return a * b; };
+    switch (CVT(acmod, output & A52_CHANNEL_MASK)) {
+    case CVT(A52_CHANNEL, A52_CHANNEL): case CVT(A52_MONO, A52_MONO):
+    case CVT(A52_STEREO, A52_STEREO): case CVT(A52_3F, A52_3F):
+    case CVT(A52_2F1R, A52_2F1R): case CVT(A52_3F1R, A52_3F1R):
+    case CVT(A52_2F2R, A52_2F2R): case CVT(A52_3F2R, A52_3F2R):
+    case CVT(A52_STEREO, A52_DOLBY):
+        coeff[0] = coeff[1] = coeff[2] = coeff[3] = coeff[4] = level;
+        return 0;
+    case CVT(A52_CHANNEL, A52_MONO):
+        coeff[0] = coeff[1] = (float)((double)level * 0.5);
+        return 3;
+    case CVT(A52_STEREO, A52_MONO):
+        coeff[0] = coeff[1] = lvl3;
+        return 3;
+    case CVT(A52_3F, A52_MONO):
+        coeff[0] = coeff[2] = lvl3;
+        coeff[1] = (float)((double)mul(lvl3, clev) * 2.0);
+        return 7;
+    case CVT(A52_2F1R, A52_MONO):
+        coeff[0] = coeff[1] = lvl3;
+        coeff[2] = mul(lvl3, slev);
+        return 7;
+    case CVT(A52_2F2R, A52_MONO):
+        coeff[0] = coeff[1] = lvl3;
+        coeff[2] = coeff[3] = mul(lvl3, slev);
+        return 15;
+    case CVT(A52_3F1R, A52_MONO):
+        coeff[0] = coeff[2] = lvl3;
+        coeff[1] = (float)((double)mul(lvl3, clev) * 2.0);
+        coeff[3] = mul(lvl3, slev);
+        return 15;
+    case CVT(A52_3F2R, A52_MONO):
+        coeff[0] = coeff[2] = lvl3;
+        coeff[1] = (float)((double)mul(lvl3, clev) * 2.0);
+        coeff[3] = coeff[4] = mul(lvl3, slev);
+        return 31;
+    case CVT(A52_MONO, A52_DOLBY):
+        coeff[0] = lvl3;
+        return 0;
+    case CVT(A52_3F, A52_DOLBY):
+        coeff[0] = coeff[2] = coeff[3] = coeff[4] = level;
+        coeff[1] = lvl3;
+        return 7;
+    case CVT(A52_3F, A52_STEREO): case CVT(A52_3F1R, A52_2F1R):
+    case CVT(A52_3F2R, A52_2F2R):
+        coeff[0] = coeff[2] = coeff[3] = coeff[4] = level;
+        coeff[1] = mul(level, clev);
+        return 7;
+    case CVT(A52_2F1R, A52_DOLBY):
+        coeff[0] = coeff[1] = level;
+        coeff[2] = lvl3;
+        return 7;
+    case CVT(A52_2F1R, A52_STEREO):
+        coeff[0] = coeff[1] = level;
+        coeff[2] = mul(lvl3, slev);
+        return 7;
+    case CVT(A52_3F1R, A52_DOLBY):
+        coeff[0] = coeff[2] = level;
+        coeff[1] = coeff[3] = lvl3;
+        return 15;
+    case CVT(A52_3F1R, A52_STEREO):
+        coeff[0] = coeff[2] = level;
+        coeff[1] = mul(level, clev);
+        coeff[3] = mul(lvl3, slev);
+        return 15;
+    case CVT(A52_2F2R, A52_DOLBY):
+        coeff[0] = coeff[1] = level;
+        coeff[2] = coeff[3] = lvl3;
+        return 15;
+    case CVT(A52_2F2R, A52_STEREO):
+        coeff[0] = coeff[1] = level;
+        coeff[2] = coeff[3] = mul(level, slev);
+        return 15;
+    case CVT(A52_3F2R, A52_DOLBY):
+        coeff[0] = coeff[2] = level;
+        coeff[1] = coeff[3] = coeff[4] = lvl3;
+        return 31;
+    case CVT(A52_3F2R, A52_2F1R):
+        coeff[0] = coeff[2] = level;
+        coeff[1] = mul(level, clev);
+        coeff[3] = coeff[4] = lvl3;
+        return 31;
+    case CVT(A52_3F2R, A52_STEREO):
+        coeff[0] = coeff[2] = level;
+        coeff[1] = mul(level, clev);
+        coeff[3] = coeff[4] = mul(level, slev);
+        return 31;
+    case CVT(A52_3F1R, A52_3F):
+        coeff[0] = coeff[1] = coeff[2] = level;
+        coeff[3] = mul(lvl3, slev);
+        return 13;
+    case CVT(A52_3F2R, A52_3F):
+        coeff[0] = coeff[1] = coeff[2] = level;
+        coeff[3] = coeff[4] = mul(level, slev);
+        return 29;
+    case CVT(A52_2F2R, A52_2F1R):
+        coeff[0] = coeff[1] = level;
+        coeff[2] = coeff[3] = lvl3;
+        return 12;
+    case CVT(A52_3F2R, A52_3F1R):
+        coeff[0] = coeff[1] = coeff[2] = level;
+        coeff[3] = coeff[4] = lvl3;
+        return 24;
+    case CVT(A52_2F1R, A52_2F2R):
+        coeff[0] = coeff[1] = level;
+        coeff[2] = lvl3;
+        return 0;
+    case CVT(A52_3F1R, A52_2F2R):
+        coeff[0] = coeff[2] = level;
+        coeff[1] = mul(level, clev);
+        coeff[3] = lvl3;
+        return 7;
+    case CVT(A52_3F1R, A52_3F2R):
+        coeff[0] = coeff[1] = coeff[2] = level;
+        coeff[3] = lvl3;
+        return 0;
+    case CVT(A52_CHANNEL, A52_CHANNEL1):
+        coeff[0] = level;
+        return 0;
+    case CVT(A52_CHANNEL, A52_CHANNEL2):
+        coeff[1] = level;
+        return 0;
+    }
+    return -1;
+}
+
+// ---------------------------------------------------------------------------
+// parser state + per-frame outputs
+// ---------------------------------------------------------------------------
+
+struct ChannelBA {
+    int bai;
+    int deltbae;
+    int8_t deltba[50];
+};
+
+struct Parser {
+    int fscod, halfrate, acmod, lfeon, output;
+    float clev, slev, level, bias, dynrng;
+    int dynrnge;
+    int chincpl, phsflginu;
+    int cplstrtmant, cplendmant, cplstrtbnd, ncplbnd;
+    uint32_t cplbndstrc;
+    float cplco[5][18];
+    uint32_t rematflg;
+    int endmant[5];
+    int bai;
+    int csnroffst;
+    ChannelBA cplba, ba[5], lfeba;
+    int cplfleak, cplsleak;
+    uint8_t cpl_exp[256];
+    int8_t cpl_bap[256];
+    uint8_t fbw_exp[5][256];
+    int8_t fbw_bap[5][256];
+    uint8_t lfe_exp[7];
+    int8_t lfe_bap[7];
+    uint16_t lfsr;
+};
+
+// per-frame dense output block: caller-allocated, layout mirrors the Python
+// BlockData stacking
+struct FrameOut {
+    float q[6][6][256];
+    float a[6][6][256];
+    float b[6][6][256];
+    uint8_t blksw[6][5];
+    float coeff[6][5];
+    uint8_t remat[6][256];
+    int32_t chanbias;
+    int32_t acmod, lfeon, output, nfchans;
+    float slev, bias;
+};
+
+extern "C" Parser* ac3h_new() {
+    Parser* p = new Parser();
+    memset(p, 0, sizeof(Parser));
+    p->lfsr = 1;
+    p->dynrnge = 1;
+    return p;
+}
+extern "C" void ac3h_free(Parser* p) { delete p; }
+extern "C" void ac3h_set_drc(Parser* p, int enabled) { p->dynrnge = enabled; }
+
+static inline float dither_gen(Parser* s) {
+    uint16_t nstate = (uint16_t)(g_ditherlut[s->lfsr >> 8] ^ (s->lfsr << 8));
+    s->lfsr = nstate;
+    return (float)((3 * (int)(int16_t)nstate) >> 2);
+}
+
+struct QuantSet {
+    float q1[2], q2[2], q4;
+    int q1_ptr, q2_ptr, q4_ptr;
+};
+
+static void coeff_get(Parser* s, BitReader& br, float* q, float* a, float* b,
+                      const uint8_t* exp, const int8_t* bap, float level,
+                      int dither, int end, QuantSet& qs)
+{
+    float factor[25];
+    for (int i = 0; i <= 24; i++) factor[i] = g_scale[i] * level;
+    for (int i = 0; i < end; i++) {
+        int bp = bap[i];
+        float v;
+        switch (bp) {
+        case 0:
+            if (dither) {
+                q[i] = dither_gen(s);
+                a[i] = factor[exp[i]];
+                b[i] = 1.0f;
+            }
+            continue;
+        case 1:
+            if (qs.q1_ptr >= 0) v = qs.q1[qs.q1_ptr--];
+            else {
+                int code = br.read(5);
+                qs.q1_ptr = 1;
+                qs.q1[0] = g_q12[code];
+                qs.q1[1] = g_q11[code];
+                v = g_q10[code];
+            }
+            break;
+        case 2:
+            if (qs.q2_ptr >= 0) v = qs.q2[qs.q2_ptr--];
+            else {
+                int code = br.read(7);
+                qs.q2_ptr = 1;
+                qs.q2[0] = g_q22[code];
+                qs.q2[1] = g_q21[code];
+                v = g_q20[code];
+            }
+            break;
+        case 3: v = g_q3[br.read(3)]; break;
+        case 4:
+            if (qs.q4_ptr == 0) { qs.q4_ptr = -1; v = qs.q4; }
+            else {
+                int code = br.read(7);
+                qs.q4_ptr = 0;
+                qs.q4 = g_q41[code];
+                v = g_q40[code];
+            }
+            break;
+        case 5: v = g_q5[br.read(4)]; break;
+        default: {
+            int nbits = g_bapbits[bp];
+            v = (float)(br.read_signed(nbits) << (16 - nbits));
+        }
+        }
+        q[i] = v;
+        a[i] = factor[exp[i]];
+        b[i] = 1.0f;
+    }
+}
+
+static void coeff_get_coupling(Parser* s, BitReader& br, FrameOut* out,
+                               int blk, int nfchans, const float* coeff,
+                               const uint8_t* dithflag, QuantSet& qs)
+{
+    const uint8_t* exp = s->cpl_exp;
+    const int8_t* bap = s->cpl_bap;
+    float cplco[5];
+    int i = s->cplstrtmant;
+    int bnd = 0;
+    uint32_t strc = s->cplbndstrc;
+    while (i < s->cplendmant) {
+        int i_end = i + 12;
+        while (strc & 1) { strc >>= 1; i_end += 12; }
+        strc >>= 1;
+        for (int ch = 0; ch < nfchans; ch++)
+            cplco[ch] = s->cplco[ch][bnd] * coeff[ch];
+        bnd++;
+        for (; i < i_end; i++) {
+            int bp = bap[i];
+            float v;
+            if (bp == 0) {
+                for (int ch = 0; ch < nfchans; ch++)
+                    if ((s->chincpl >> ch) & 1 && dithflag[ch]) {
+                        out->q[blk][ch][i] = dither_gen(s);
+                        out->a[blk][ch][i] = g_scale[exp[i]] * cplco[ch];
+                        out->b[blk][ch][i] = 1.0f;
+                    }
+                continue;
+            }
+            switch (bp) {
+            case 1:
+                if (qs.q1_ptr >= 0) v = qs.q1[qs.q1_ptr--];
+                else {
+                    int code = br.read(5);
+                    qs.q1_ptr = 1;
+                    qs.q1[0] = g_q12[code];
+                    qs.q1[1] = g_q11[code];
+                    v = g_q10[code];
+                }
+                break;
+            case 2:
+                if (qs.q2_ptr >= 0) v = qs.q2[qs.q2_ptr--];
+                else {
+                    int code = br.read(7);
+                    qs.q2_ptr = 1;
+                    qs.q2[0] = g_q22[code];
+                    qs.q2[1] = g_q21[code];
+                    v = g_q20[code];
+                }
+                break;
+            case 3: v = g_q3[br.read(3)]; break;
+            case 4:
+                if (qs.q4_ptr == 0) { qs.q4_ptr = -1; v = qs.q4; }
+                else {
+                    int code = br.read(7);
+                    qs.q4_ptr = 0;
+                    qs.q4 = g_q41[code];
+                    v = g_q40[code];
+                }
+                break;
+            case 5: v = g_q5[br.read(4)]; break;
+            default: {
+                int nbits = g_bapbits[bp];
+                v = (float)(br.read_signed(nbits) << (16 - nbits));
+            }
+            }
+            for (int ch = 0; ch < nfchans; ch++)
+                if ((s->chincpl >> ch) & 1) {
+                    out->q[blk][ch][i] = v;
+                    out->a[blk][ch][i] = g_scale[exp[i]];
+                    out->b[blk][ch][i] = cplco[ch];
+                }
+        }
+    }
+}
+
+static int parse_exponents(BitReader& br, int expstr, int ngrps,
+                           int exponent, uint8_t* dest)
+{
+    int fan = expstr == 1 ? 1 : (expstr == 2 ? 2 : 4);
+    while (ngrps--) {
+        int exps = br.read(7);
+        const int8_t* tabs[3] = {g_exp1, g_exp2, g_exp3};
+        for (int t = 0; t < 3; t++) {
+            exponent += tabs[t][exps];
+            if (exponent > 24) return 1;
+            for (int f = 0; f < fan; f++) *dest++ = (uint8_t)exponent;
+        }
+    }
+    return 0;
+}
+
+static int parse_deltba(BitReader& br, int8_t* deltba) {
+    memset(deltba, 0, 50);
+    int deltnseg = br.read(3);
+    int j = 0;
+    do {
+        j += br.read(5);
+        int deltlen = br.read(4);
+        int delta = br.read(3);
+        delta -= (delta >= 4) ? 3 : 4;
+        if (!deltlen) continue;
+        if (j + deltlen >= 50) return 1;
+        while (deltlen--) deltba[j++] = (int8_t)delta;
+    } while (deltnseg--);
+    return 0;
+}
+
+static int zero_snr_offsets(Parser* s, int nfchans) {
+    if (s->csnroffst) return 0;
+    if (s->chincpl && (s->cplba.bai >> 3)) return 0;
+    if (s->lfeon && (s->lfeba.bai >> 3)) return 0;
+    for (int i = 0; i < nfchans; i++)
+        if (s->ba[i].bai >> 3) return 0;
+    return 1;
+}
+
+static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk)
+{
+    int nfchans = NFCHANS_TBL[s->acmod];
+    uint8_t blksw[5] = {0}, dithflag[5] = {0};
+    for (int i = 0; i < nfchans; i++) blksw[i] = br.read(1);
+    for (int i = 0; i < nfchans; i++) dithflag[i] = br.read(1);
+    memcpy(out->blksw[blk], blksw, 5);
+
+    for (int ci = 0; ci <= (s->acmod == 0 ? 1 : 0); ci++) {
+        if (br.read(1)) {
+            int dynrng = br.read_signed(8);
+            if (s->dynrnge) {
+                float range = (float)(((dynrng & 0x1F) | 0x20) << 13)
+                              * g_scale[3 - (dynrng >> 5)];
+                s->dynrng = s->level * range;
+            }
+        }
+    }
+
+    if (br.read(1)) {                       // cplstre
+        s->chincpl = 0;
+        if (br.read(1)) {                   // cplinu
+            for (int i = 0; i < nfchans; i++)
+                s->chincpl |= br.read(1) << i;
+            if (s->acmod == 0 || s->acmod == 1) return 1;
+            if (s->acmod == 2) s->phsflginu = br.read(1);
+            int cplbegf = br.read(4);
+            int cplendf = br.read(4);
+            if (cplendf + 3 - cplbegf < 0) return 1;
+            int ncplsubnd = cplendf + 3 - cplbegf;
+            s->ncplbnd = ncplsubnd;
+            s->cplstrtbnd = g_cplbnd[cplbegf];
+            s->cplstrtmant = cplbegf * 12 + 37;
+            s->cplendmant = cplendf * 12 + 73;
+            s->cplbndstrc = 0;
+            for (int i = 0; i < ncplsubnd - 1; i++)
+                if (br.read(1)) { s->cplbndstrc |= 1u << i; s->ncplbnd--; }
+        }
+    }
+
+    if (s->chincpl) {
+        int cplcoe = 0;
+        for (int i = 0; i < nfchans; i++)
+            if ((s->chincpl >> i) & 1 && br.read(1)) {
+                cplcoe = 1;
+                int mstr = 3 * br.read(2);
+                for (int j = 0; j < s->ncplbnd; j++) {
+                    int cexp = br.read(4);
+                    int cmant = br.read(4);
+                    if (cexp == 15) cmant <<= 14;
+                    else cmant = (cmant | 0x10) << 13;
+                    s->cplco[i][j] = (float)cmant * g_scale[cexp + mstr];
+                }
+            }
+        if (s->acmod == 2 && s->phsflginu && cplcoe)
+            for (int j = 0; j < s->ncplbnd; j++)
+                if (br.read(1)) s->cplco[1][j] = -s->cplco[1][j];
+    }
+
+    if (s->acmod == 2 && br.read(1)) {      // rematstr
+        s->rematflg = 0;
+        int end = s->chincpl ? s->cplstrtmant : 253;
+        int i = 0;
+        do
+            s->rematflg |= br.read(1) << i;
+        while (REMATRIX_BAND[i++] < end);
+    }
+
+    int cplexpstr = EXP_REUSE, lfeexpstr = EXP_REUSE;
+    int chexpstr[5];
+    if (s->chincpl) cplexpstr = br.read(2);
+    for (int i = 0; i < nfchans; i++) chexpstr[i] = br.read(2);
+    if (s->lfeon) lfeexpstr = br.read(1);
+
+    for (int i = 0; i < nfchans; i++)
+        if (chexpstr[i] != EXP_REUSE) {
+            if ((s->chincpl >> i) & 1) s->endmant[i] = s->cplstrtmant;
+            else {
+                int chbwcod = br.read(6);
+                if (chbwcod > 60) return 1;
+                s->endmant[i] = chbwcod * 3 + 73;
+            }
+        }
+
+    int do_bit_alloc = 0;
+    if (cplexpstr != EXP_REUSE) {
+        do_bit_alloc = 64;
+        int ncplgrps = (s->cplendmant - s->cplstrtmant) / (3 << (cplexpstr - 1));
+        int cplabsexp = br.read(4) << 1;
+        if (parse_exponents(br, cplexpstr, ncplgrps, cplabsexp,
+                            s->cpl_exp + s->cplstrtmant))
+            return 1;
+    }
+    for (int i = 0; i < nfchans; i++)
+        if (chexpstr[i] != EXP_REUSE) {
+            do_bit_alloc |= 1 << i;
+            int grp = 3 << (chexpstr[i] - 1);
+            int nchgrps = (s->endmant[i] + grp - 4) / grp;
+            s->fbw_exp[i][0] = br.read(4);
+            if (parse_exponents(br, chexpstr[i], nchgrps, s->fbw_exp[i][0],
+                                s->fbw_exp[i] + 1))
+                return 1;
+            br.skip(2);
+        }
+    if (s->lfeon && lfeexpstr != EXP_REUSE) {
+        do_bit_alloc |= 32;
+        s->lfe_exp[0] = br.read(4);
+        uint8_t tmp[24];
+        if (parse_exponents(br, 1, 2, s->lfe_exp[0], tmp)) return 1;
+        memcpy(s->lfe_exp + 1, tmp, 6);
+    }
+
+    if (br.read(1)) { do_bit_alloc = 127; s->bai = br.read(11); }
+    if (br.read(1)) {
+        do_bit_alloc = 127;
+        s->csnroffst = br.read(6);
+        if (s->chincpl) s->cplba.bai = br.read(7);
+        for (int i = 0; i < nfchans; i++) s->ba[i].bai = br.read(7);
+        if (s->lfeon) s->lfeba.bai = br.read(7);
+    }
+    if (s->chincpl && br.read(1)) {
+        do_bit_alloc |= 64;
+        s->cplfleak = br.read(3);
+        s->cplsleak = br.read(3);
+    }
+    if (br.read(1)) {
+        do_bit_alloc = 127;
+        if (s->chincpl) s->cplba.deltbae = br.read(2);
+        for (int i = 0; i < nfchans; i++) s->ba[i].deltbae = br.read(2);
+        if (s->chincpl && s->cplba.deltbae == DELTA_BIT_NEW
+            && parse_deltba(br, s->cplba.deltba))
+            return 1;
+        for (int i = 0; i < nfchans; i++)
+            if (s->ba[i].deltbae == DELTA_BIT_NEW
+                && parse_deltba(br, s->ba[i].deltba))
+                return 1;
+    }
+
+    if (do_bit_alloc) {
+        AllocParams P;
+        P.sdecay = g_sdecay[(s->bai >> 9) & 3] >> s->halfrate;
+        P.fdecay = g_fdecay[(s->bai >> 7) & 3] >> s->halfrate;
+        P.sgain = g_sgain[(s->bai >> 5) & 3];
+        P.dbknee = g_dbknee[(s->bai >> 3) & 3];
+        P.floorv = g_floor[s->bai & 7];
+        P.fscod = s->fscod;
+        P.halfratecod = s->halfrate;
+        if (zero_snr_offsets(s, nfchans)) {
+            memset(s->cpl_bap, 0, 256);
+            for (int i = 0; i < nfchans; i++) memset(s->fbw_bap[i], 0, 256);
+            memset(s->lfe_bap, 0, 7);
+        } else {
+            auto snro = [&](int bai7) {
+                return ((((s->csnroffst - 15) << 4) + (bai7 >> 3)) << 2);
+            };
+            if (s->chincpl && (do_bit_alloc & 64))
+                bit_allocate(s->cpl_exp, s->cplstrtmant, s->cplendmant,
+                             snro(s->cplba.bai), g_fgain[s->cplba.bai & 7], P,
+                             false, s->cplfleak, s->cplsleak,
+                             s->cplba.deltbae != DELTA_BIT_NONE
+                                 ? s->cplba.deltba : nullptr,
+                             s->cpl_bap);
+            for (int i = 0; i < nfchans; i++)
+                if (do_bit_alloc & (1 << i))
+                    bit_allocate(s->fbw_exp[i], 0, s->endmant[i],
+                                 snro(s->ba[i].bai), g_fgain[s->ba[i].bai & 7],
+                                 P, false, 0, 0,
+                                 s->ba[i].deltbae != DELTA_BIT_NONE
+                                     ? s->ba[i].deltba : nullptr,
+                                 s->fbw_bap[i]);
+            if (s->lfeon && (do_bit_alloc & 32)) {
+                s->lfeba.deltbae = DELTA_BIT_NONE;
+                uint8_t e[256] = {0};
+                int8_t bp[256];
+                memcpy(e, s->lfe_exp, 7);
+                bit_allocate(e, 0, 7, snro(s->lfeba.bai),
+                             g_fgain[s->lfeba.bai & 7], P, true, 0, 0,
+                             nullptr, bp);
+                memcpy(s->lfe_bap, bp, 7);
+            }
+        }
+    }
+
+    if (br.read(1)) {                        // skiple
+        int n = br.read(9);
+        br.skip(8 * n);
+    }
+
+    float coeff[5];
+    int chanbias = downmix_coeff(coeff, s->acmod, s->output, s->dynrng,
+                                 s->clev, s->slev);
+    memcpy(out->coeff[blk], coeff, sizeof(coeff));
+    out->chanbias = chanbias;
+
+    QuantSet qs;
+    qs.q1_ptr = qs.q2_ptr = qs.q4_ptr = -1;
+    int done_cpl = 0;
+    for (int i = 0; i < nfchans; i++) {
+        coeff_get(s, br, out->q[blk][i], out->a[blk][i], out->b[blk][i],
+                  s->fbw_exp[i], s->fbw_bap[i], coeff[i], dithflag[i],
+                  s->endmant[i], qs);
+        if ((s->chincpl >> i) & 1 && !done_cpl) {
+            done_cpl = 1;
+            coeff_get_coupling(s, br, out, blk, nfchans, coeff, dithflag, qs);
+        }
+    }
+
+    // rematrix band mask
+    if (s->acmod == 2) {
+        int end = s->endmant[0] < s->endmant[1] ? s->endmant[0] : s->endmant[1];
+        int j = 13;
+        for (int bi = 0; bi < 4; bi++) {
+            int band = REMATRIX_BAND[bi];
+            if (s->rematflg & (1u << bi)) {
+                int hi = band < end ? band : end;
+                for (int k = j; k < hi; k++) out->remat[blk][k] = 1;
+            }
+            j = band;
+            if (j >= end) break;
+        }
+    }
+
+    if (s->lfeon) {
+        uint8_t e[256] = {0};
+        int8_t bp[256] = {0};
+        memcpy(e, s->lfe_exp, 7);
+        memcpy(bp, s->lfe_bap, 7);
+        if (s->output & A52_LFE)
+            coeff_get(s, br, out->q[blk][5], out->a[blk][5], out->b[blk][5],
+                      e, bp, s->dynrng, 0, 7, qs);
+        else {
+            float scratch[256];
+            coeff_get(s, br, scratch, scratch, scratch, e, bp, 0.0f, 0, 7, qs);
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// frame-level entry points
+// ---------------------------------------------------------------------------
+
+extern "C" int ac3h_syncinfo(const uint8_t* buf, int* flags,
+                             int* sample_rate, int* bit_rate)
+{
+    static const uint8_t lfeon_bit[8] = {0x10, 0x10, 0x04, 0x04,
+                                         0x04, 0x01, 0x04, 0x01};
+    if (buf[0] != 0x0B || buf[1] != 0x77) return 0;
+    if (buf[5] >= 0x60) return 0;
+    int half = HALFRATE_TBL[buf[5] >> 3];
+    int acmod = buf[6] >> 5;
+    *flags = (((buf[6] & 0xF8) == 0x50) ? A52_DOLBY : acmod)
+             | ((buf[6] & lfeon_bit[acmod]) ? A52_LFE : 0);
+    int frmsizecod = buf[4] & 63;
+    if (frmsizecod >= 38) return 0;
+    int bitrate = RATE_TBL[frmsizecod >> 1];
+    *bit_rate = (bitrate * 1000) >> half;
+    switch (buf[4] & 0xC0) {
+    case 0x00: *sample_rate = 48000 >> half; return 4 * bitrate;
+    case 0x40: *sample_rate = 44100 >> half;
+               return 2 * (320 * bitrate / 147 + (frmsizecod & 1));
+    case 0x80: *sample_rate = 32000 >> half; return 6 * bitrate;
+    }
+    return 0;
+}
+
+extern "C" int ac3h_frame(Parser* s, const uint8_t* buf, int flags,
+                          float level, float bias, FrameOut* out)
+{
+    static const double CLEV[4] = {LEVEL_3DB_D, LEVEL_45DB_D, 0.5, LEVEL_45DB_D};
+    static const double SLEV[4] = {LEVEL_3DB_D, 0.5, 0.0, 0.5};
+
+    memset(out->q, 0, sizeof(out->q));
+    memset(out->a, 0, sizeof(out->a));
+    memset(out->b, 0, sizeof(out->b));
+    memset(out->remat, 0, sizeof(out->remat));
+    memset(out->blksw, 0, sizeof(out->blksw));
+    memset(out->coeff, 0, sizeof(out->coeff));
+
+    s->fscod = buf[4] >> 6;
+    s->halfrate = HALFRATE_TBL[buf[5] >> 3];
+    s->acmod = buf[6] >> 5;
+    int acmod = s->acmod;
+    BitReader br{buf, 6 * 8};
+    br.skip(3);
+    if (acmod == 2 && br.read(2) == 2) acmod = A52_DOLBY;
+    s->clev = 0;
+    s->slev = 0;
+    if ((acmod & 1) && acmod != 1) s->clev = (float)CLEV[br.read(2)];
+    if (acmod & 4) s->slev = (float)SLEV[br.read(2)];
+    s->lfeon = br.read(1);
+
+    float lvl = level;
+    int outmode = downmix_init(acmod, flags, &lvl, s->clev, s->slev);
+    if (outmode < 0) return 1;
+    s->output = outmode;
+    if (s->lfeon && (flags & A52_LFE)) s->output |= A52_LFE;
+    s->level = (float)((double)lvl * 2.0);
+    s->dynrng = s->level;
+    s->bias = bias;
+    s->cplba.deltbae = DELTA_BIT_NONE;
+    for (int i = 0; i < 5; i++) s->ba[i].deltbae = DELTA_BIT_NONE;
+
+    for (int ci = 0; ci <= (acmod == 0 ? 1 : 0); ci++) {
+        br.skip(5);
+        if (br.read(1)) br.skip(8);
+        if (br.read(1)) br.skip(8);
+        if (br.read(1)) br.skip(7);
+    }
+    br.skip(2);
+    if (br.read(1)) br.skip(14);
+    if (br.read(1)) br.skip(14);
+    if (br.read(1)) {
+        int addbsil = br.read(6);
+        br.skip(8 * (addbsil + 1));
+    }
+
+    out->acmod = s->acmod;
+    out->lfeon = s->lfeon;
+    out->output = s->output;
+    out->nfchans = NFCHANS_TBL[s->acmod];
+    out->slev = s->slev;
+    out->bias = bias;
+
+    for (int blk = 0; blk < 6; blk++)
+        if (parse_block(s, br, out, blk))
+            return 2 + blk;
+    return 0;
+}
+
+// parse a run of consecutive frames (one stream) into an array of FrameOut
+extern "C" int ac3h_frames(Parser* s, const uint8_t* buf, int64_t buflen,
+                           int nframes, int flags, float level, float bias,
+                           FrameOut* outs, int32_t* frame_sizes)
+{
+    int64_t pos = 0;
+    int done = 0;
+    int fl, sr, brr;
+    while (done < nframes && pos + 7 <= buflen) {
+        int size = ac3h_syncinfo(buf + pos, &fl, &sr, &brr);
+        if (size == 0) { pos++; continue; }
+        if (pos + size > buflen) break;
+        int r = ac3h_frame(s, buf + pos, flags, level, bias, &outs[done]);
+        if (r == 0) {
+            frame_sizes[done] = size;
+            done++;
+        }
+        pos += size;
+    }
+    return done;
+}

@@ -1,0 +1,66 @@
+"""Native (C++) host parser: bit-for-bit equivalence with the Python one."""
+import numpy as np
+import pytest
+
+import ac3acm_tpu.tables as T
+from ac3acm_tpu.host.native import NativeParser
+from ac3acm_tpu.host.parse import A52Parser
+from ac3acm_tpu.models.decoder import _stack_blocks
+from tests.streamgen import gen_stream
+
+CASES = [
+    (11, 2, False, dict(want_cpl=True)),
+    (14, 7, True, dict(want_cpl=True)),
+    (15, 7, False, dict(want_blksw=True)),
+    (17, 3, False, dict(want_deltba=True)),
+    (19, 1, False, dict()),
+    (22, 5, True, dict(want_cpl=True)),
+    (18, 2, False, dict(zero_snr=True)),
+    (16, 6, False, dict(want_blksw=True)),
+]
+
+
+@pytest.mark.parametrize("seed,acmod,lfeon,kw", CASES)
+def test_native_matches_python(seed, acmod, lfeon, kw):
+    es = gen_stream(seed, acmod, lfeon, nframes=4, **kw)
+    flags = acmod | (T.A52_LFE if lfeon else 0) | T.A52_ADJUST_LEVEL
+    res = NativeParser().decode_frames(es, 4, flags, 1.0, 0.0)
+    assert res is not None
+    blocks_n, meta = res
+
+    pp = A52Parser()
+    fs = T.frame_size_bytes(0, 36)
+    frames = [pp.decode_frame(es[i * fs:(i + 1) * fs], flags, 1.0, 0.0)
+              for i in range(4)]
+    blocks_p = _stack_blocks(frames)
+    for k in ("q", "a", "b", "coeff", "bias"):
+        np.testing.assert_array_equal(blocks_n[k], blocks_p[k], err_msg=k)
+    for k in ("blksw", "remat"):
+        np.testing.assert_array_equal(blocks_n[k], blocks_p[k], err_msg=k)
+    assert meta["acmod"] == acmod and meta["lfeon"] == int(lfeon)
+
+
+def test_native_golden_stream():
+    import os
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    res = NativeParser().decode_frames(es, 8, flags, 1.0, 384.0)
+    assert res is not None
+    blocks_n, meta = res
+    assert blocks_n["q"].shape == (48, 6, 256)
+    pp = A52Parser()
+    frames = []
+    pos = 0
+    from ac3acm_tpu.host.parse import syncinfo
+    while pos + 7 <= len(es):
+        size, _, _, _ = syncinfo(es[pos:pos + 7])
+        if size == 0:
+            pos += 1
+            continue
+        frames.append(pp.decode_frame(es[pos:pos + size], flags, 1.0, 384.0))
+        pos += size
+    blocks_p = _stack_blocks(frames)
+    for k in ("q", "a", "b", "coeff", "bias"):
+        np.testing.assert_array_equal(blocks_n[k], blocks_p[k], err_msg=k)
