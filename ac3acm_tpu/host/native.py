@@ -50,7 +50,8 @@ def _build() -> str:
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", so],
+            ["g++", "-O3", "-ffp-contract=off", "-fPIC", "-shared",
+             "-std=c++17", src, "-o", so],
             check=True, capture_output=True, text=True)
     return so
 
@@ -153,3 +154,63 @@ class NativeParser:
             "chanbias": int(view["chanbias"][-1]),
         }
         return blocks, meta
+
+
+class NativeDecoder:
+    """Full native CPU decode path: parse + bit-exact filterbank + downmix.
+
+    Matches the reference decoder float-for-float (compiled with
+    -ffp-contract=off so every f32 product rounds identically).  This is
+    the framework's bit-matching mode and CPU fallback; the TPU pipeline
+    is the throughput path.
+    """
+
+    def __init__(self):
+        self.lib = get_lib()
+        L = self.lib
+        if not hasattr(L, "_dec_ready"):
+            L.ac3h_dec_new.restype = C.c_void_p
+            L.ac3h_dec_free.argtypes = [C.c_void_p]
+            L.ac3h_dec_set_drc.argtypes = [C.c_void_p, C.c_int]
+            L.ac3h_dec_frame.restype = C.c_int
+            L.ac3h_dec_frame.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
+                                         C.c_float, C.c_float,
+                                         C.POINTER(C.c_float),
+                                         C.POINTER(C.c_int32)]
+            L._dec_ready = True
+        self._d = L.ac3h_dec_new()
+
+    def __del__(self):
+        if getattr(self, "_d", None):
+            self.lib.ac3h_dec_free(self._d)
+            self._d = None
+
+    def set_drc_enabled(self, enabled: bool):
+        self.lib.ac3h_dec_set_drc(self._d, int(enabled))
+
+    def decode_stream(self, es: bytes, flags: int, level: float = 1.0,
+                      bias: float = 0.0):
+        """Returns float32 [nblk, nch_out, 256] planar PCM."""
+        from .parse import syncinfo
+        out_blocks = []
+        pcm = np.zeros((6, 6, 256), np.float32)
+        nch = C.c_int32(0)
+        pos = 0
+        while pos + 7 <= len(es):
+            size, _, _, _ = syncinfo(es[pos:pos + 7])
+            if size == 0:
+                pos += 1
+                continue
+            if pos + size > len(es):
+                break
+            r = self.lib.ac3h_dec_frame(
+                self._d, es[pos:pos + size], flags, level, bias,
+                pcm.ctypes.data_as(C.POINTER(C.c_float)), C.byref(nch))
+            if r == 0:
+                n = int(nch.value)
+                out_blocks.append(
+                    pcm.reshape(-1)[: 6 * n * 256].reshape(6, n, 256).copy())
+            pos += size
+        if not out_blocks:
+            return np.zeros((0, 0, 256), np.float32)
+        return np.concatenate(out_blocks, axis=0)

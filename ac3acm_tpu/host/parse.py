@@ -70,35 +70,28 @@ def syncinfo(buf: bytes):
 # Output-mode negotiation (downmix.c:34-160)
 # ---------------------------------------------------------------------------
 
+# rows: requested output 0..10; cols: input acmod 0..7 (downmix.c:37-60)
 _DOWNMIX_TABLE = np.array([
-    # rows: requested output 0..10; cols: input acmod 0..7
-    [T.A52_CHANNEL] + [T.A52_CHANNEL] * 7,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_STEREO,
+     T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_STEREO],
     [T.A52_MONO] * 8,
-    [T.A52_STEREO] * 8,
-    [T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_3F,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_STEREO,
+     T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_STEREO],
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_3F,
      T.A52_STEREO, T.A52_3F, T.A52_STEREO, T.A52_3F],
-    [T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_STEREO,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_STEREO,
      T.A52_2F1R, T.A52_2F1R, T.A52_2F1R, T.A52_2F1R],
-    [T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_STEREO,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_STEREO,
      T.A52_2F1R, T.A52_3F1R, T.A52_2F1R, T.A52_3F1R],
-    [T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_3F,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_3F,
      T.A52_2F2R, T.A52_2F2R, T.A52_2F2R, T.A52_2F2R],
-    [T.A52_STEREO, T.A52_STEREO, T.A52_STEREO, T.A52_3F,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_3F,
      T.A52_2F2R, T.A52_3F2R, T.A52_2F2R, T.A52_3F2R],
     [T.A52_CHANNEL1, T.A52_MONO] + [T.A52_MONO] * 6,
     [T.A52_CHANNEL2, T.A52_MONO] + [T.A52_MONO] * 6,
-    [T.A52_STEREO, T.A52_DOLBY, T.A52_STEREO, T.A52_DOLBY,
+    [T.A52_CHANNEL, T.A52_DOLBY, T.A52_STEREO, T.A52_DOLBY,
      T.A52_DOLBY, T.A52_DOLBY, T.A52_DOLBY, T.A52_DOLBY],
 ], dtype=np.int32)
-# first column (A52_CHANNEL input) special-cases, per downmix.c table:
-_DOWNMIX_TABLE[0, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[2, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[3, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[4, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[5, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[6, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[7, 1] = T.A52_DOLBY
-_DOWNMIX_TABLE[10, 1] = T.A52_DOLBY
 
 
 def downmix_init(input_mode: int, flags: int, level: float,
@@ -108,54 +101,64 @@ def downmix_init(input_mode: int, flags: int, level: float,
     if output > T.A52_DOLBY:
         return -1, level
     output = int(_DOWNMIX_TABLE[output][input_mode & 7])
+    # NB: the reference compares the float clev against the *double*
+    # LEVEL_3DB literal (downmix.c:70), so the 3F promotion can never fire
+    # in the float build; we replay that comparison literally.
     if output == T.A52_STEREO and (
             input_mode == T.A52_DOLBY
-            or (input_mode == T.A52_3F and clev == _F(T.LEVEL_3DB))):
+            or (input_mode == T.A52_3F and float(clev) == T.LEVEL_3DB)):
         output = T.A52_DOLBY
 
     if flags & T.A52_ADJUST_LEVEL:
+        # Exact type replay of the reference's DIV()/LEVEL() macro soup
+        # (downmix.c:73-157): `DIV(1, ...)` with float operands is a *float*
+        # division, double literals promote the whole expression to double,
+        # and inner (1+clev) sums happen in float.  Each deviation is 1 ulp
+        # of output, so the types below are load-bearing.
         inp = input_mode & 7
         key = (inp, output)
-        c = float(clev)
-        s = float(slev)
-        L3, LP3 = T.LEVEL_3DB, T.LEVEL_PLUS3DB
+        c = _F(clev)
+        s = _F(slev)
+        L3, LP3 = T.LEVEL_3DB, T.LEVEL_PLUS3DB   # double constants
+        f1 = _F(1.0)
         adjust = None
         if key == (T.A52_3F, T.A52_MONO):
-            adjust = L3 / (1.0 + c)
+            adjust = _F(L3 / float(f1 + c))
         elif key in ((T.A52_STEREO, T.A52_MONO), (T.A52_2F2R, T.A52_2F1R),
                      (T.A52_3F2R, T.A52_3F1R)):
-            adjust = L3
+            adjust = _F(L3)
         elif key == (T.A52_3F2R, T.A52_2F1R):
-            adjust = L3 if c < T.LEVEL_PLUS3DB - 1 else 1.0 / (1.0 + c)
+            adjust = _F(L3) if c < _F(T.LEVEL_PLUS3DB - 1) \
+                else _F(f1 / (f1 + c))                     # float division
         elif key in ((T.A52_3F, T.A52_STEREO), (T.A52_3F1R, T.A52_2F1R),
                      (T.A52_3F1R, T.A52_2F2R), (T.A52_3F2R, T.A52_2F2R)):
-            adjust = 1.0 / (1.0 + c)
+            adjust = _F(f1 / (f1 + c))                     # float division
         elif key == (T.A52_2F1R, T.A52_MONO):
-            adjust = LP3 / (2.0 + s)
+            adjust = _F(LP3 / float(_F(2.0) + s))
         elif key in ((T.A52_2F1R, T.A52_STEREO), (T.A52_3F1R, T.A52_3F)):
-            adjust = 1.0 / (1.0 + _F(float(_F(s)) * L3))
+            adjust = _F(1.0 / (1.0 + float(s) * L3))
         elif key == (T.A52_3F1R, T.A52_MONO):
-            adjust = L3 / (1.0 + c + _F(float(_F(s)) * 0.5))
+            adjust = _F(L3 / (float(f1 + c) + float(s) * 0.5))
         elif key == (T.A52_3F1R, T.A52_STEREO):
-            adjust = 1.0 / (1.0 + c + _F(float(_F(s)) * L3))
+            adjust = _F(1.0 / (float(f1 + c) + float(s) * L3))
         elif key == (T.A52_2F2R, T.A52_MONO):
-            adjust = L3 / (1.0 + s)
+            adjust = _F(L3 / float(f1 + s))
         elif key in ((T.A52_2F2R, T.A52_STEREO), (T.A52_3F2R, T.A52_3F)):
-            adjust = 1.0 / (1.0 + s)
+            adjust = _F(f1 / (f1 + s))                     # float division
         elif key == (T.A52_3F2R, T.A52_MONO):
-            adjust = L3 / (1.0 + c + s)
+            adjust = _F(L3 / float(f1 + c + s))
         elif key == (T.A52_3F2R, T.A52_STEREO):
-            adjust = 1.0 / (1.0 + c + s)
+            adjust = _F(f1 / (f1 + c + s))                 # float division
         elif key == (T.A52_MONO, T.A52_DOLBY):
-            adjust = LP3
+            adjust = _F(LP3)
         elif key in ((T.A52_3F, T.A52_DOLBY), (T.A52_2F1R, T.A52_DOLBY)):
-            adjust = 1.0 / (1.0 + L3)
+            adjust = _F(1.0 / (1.0 + L3))
         elif key in ((T.A52_3F1R, T.A52_DOLBY), (T.A52_2F2R, T.A52_DOLBY)):
-            adjust = 1.0 / (1.0 + 2.0 * L3)
+            adjust = _F(1.0 / (1.0 + 2.0 * L3))
         elif key == (T.A52_3F2R, T.A52_DOLBY):
-            adjust = 1.0 / (1.0 + 3.0 * L3)
+            adjust = _F(1.0 / (1.0 + 3.0 * L3))
         if adjust is not None:
-            level = _F(float(_F(level)) * float(_F(adjust)))
+            level = _F(_F(level) * adjust)
     return output, _F(level)
 
 

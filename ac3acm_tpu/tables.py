@@ -472,6 +472,36 @@ def _imdct_matrices(n_full: int):
 
 
 @lru_cache(maxsize=1)
+def imdct_twiddles():
+    """float32 twiddle tables for the order-exact split-radix IFFT path
+    (the imdct.c:358-412 runtime tables, f32-cast like sample_t)."""
+    def f32(x):
+        return np.asarray(x, dtype=np.float32)
+    out = {}
+    for n, size in (("roots16", 3), ("roots32", 7), ("roots64", 15),
+                    ("roots128", 31)):
+        m = {"roots16": 8, "roots32": 16, "roots64": 32, "roots128": 64}[n]
+        out[n] = f32(np.cos((math.pi / m) * (np.arange(size) + 1)))
+    i = np.arange(128)
+    k = FFTORDER[:128] // 2 + 64
+    sign = np.where(i < 64, 1.0, -1.0)
+    out["pre1_r"] = f32(sign * np.cos((math.pi / 256) * (k - 0.25)))
+    out["pre1_i"] = f32(sign * np.sin((math.pi / 256) * (k - 0.25)))
+    i = np.arange(64)
+    out["post1_r"] = f32(np.cos((math.pi / 256) * (i + 0.5)))
+    out["post1_i"] = f32(np.sin((math.pi / 256) * (i + 0.5)))
+    k2 = FFTORDER[:64] // 4
+    out["pre2_r"] = f32(np.cos((math.pi / 128) * (k2 - 0.25)))
+    out["pre2_i"] = f32(np.sin((math.pi / 128) * (k2 - 0.25)))
+    i = np.arange(32)
+    out["post2_r"] = f32(np.cos((math.pi / 128) * (i + 0.5)))
+    out["post2_i"] = f32(np.sin((math.pi / 128) * (i + 0.5)))
+    out["window"] = f32(kbd_window())
+    out["fftorder"] = FFTORDER[:128].astype(np.int32)
+    return out
+
+
+@lru_cache(maxsize=1)
 def imdct512_matrices():
     """(Z [256,256], D [256,128]) for the long (blksw=0) filterbank."""
     return _imdct_matrices(512)

@@ -1,0 +1,83 @@
+"""Native CPU decoder: bit-exact output vs the reference decoder."""
+import numpy as np
+import pytest
+
+import ac3acm_tpu.tables as T
+from ac3acm_tpu.host.native import NativeDecoder
+from tests.refbuild import get_ref
+from tests.streamgen import gen_stream
+
+CASES = [
+    ("stereo_cpl", 11, 2, False, dict(want_cpl=True), T.A52_STEREO),
+    ("3f2r_to_stereo", 13, 7, False, dict(want_cpl=True), T.A52_STEREO),
+    ("51_full", 14, 7, True, dict(want_cpl=True), T.A52_3F2R | T.A52_LFE),
+    ("blksw", 15, 7, False, dict(want_blksw=True), T.A52_STEREO),
+    ("mono", 19, 1, False, dict(), T.A52_MONO),
+    ("51_to_mono", 23, 7, True, dict(want_cpl=True), T.A52_MONO),
+    ("deltba", 17, 3, False, dict(want_deltba=True), T.A52_3F),
+    ("blksw_cpl", 24, 7, False, dict(want_cpl=True, want_blksw=True),
+     T.A52_STEREO),
+    ("dolby", 21, 4, False, dict(), T.A52_DOLBY),
+    ("zero_snr", 18, 2, False, dict(zero_snr=True), T.A52_STEREO),
+]
+
+
+@pytest.mark.parametrize("name,seed,acmod,lfeon,kw,outf", CASES,
+                         ids=[c[0] for c in CASES])
+def test_native_decoder_bit_exact(name, seed, acmod, lfeon, kw, outf):
+    ref = get_ref()
+    es = gen_stream(seed, acmod, lfeon, nframes=4, **kw)
+    rflags, rb = ref.decode_stream(es, outf)
+    assert rb.shape[0] == 24
+    out = NativeDecoder().decode_stream(es, outf | T.A52_ADJUST_LEVEL,
+                                        level=1.0, bias=0.0)
+    mine = out.reshape(out.shape[0], -1)
+    assert mine.shape == rb.shape
+    np.testing.assert_array_equal(mine, rb)
+
+
+def test_native_decoder_golden_bit_exact():
+    import os
+    ref = get_ref()
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    _, rb = ref.decode_stream(es, T.A52_STEREO)
+    out = NativeDecoder().decode_stream(es, T.A52_STEREO | T.A52_ADJUST_LEVEL)
+    np.testing.assert_array_equal(out.reshape(out.shape[0], -1), rb)
+
+
+def test_downmix_negotiation_exhaustive():
+    """Every (acmod, request, clev, slev) combo matches liba52's
+    a52_downmix_init/a52_downmix_coeff float-for-float."""
+    import ctypes as C
+    import itertools
+    from ac3acm_tpu.host import parse as P
+    ref = get_ref()
+    L = ref.lib
+    L.a52_downmix_init.restype = C.c_int
+    L.a52_downmix_init.argtypes = [C.c_int, C.c_int, C.POINTER(C.c_float),
+                                   C.c_float, C.c_float]
+    L.a52_downmix_coeff.restype = C.c_int
+    L.a52_downmix_coeff.argtypes = [C.POINTER(C.c_float), C.c_int, C.c_int,
+                                    C.c_float, C.c_float, C.c_float]
+    CLEV = [T.LEVEL_3DB, T.LEVEL_45DB, 0.5, T.LEVEL_45DB]
+    SLEV = [T.LEVEL_3DB, 0.5, 0.0, 0.5]
+    for acmod in range(8):
+        for outreq in range(11):
+            for ci, si in itertools.product(range(4), range(4)):
+                clev = np.float32(CLEV[ci])
+                slev = np.float32(SLEV[si])
+                lv = C.c_float(1.0)
+                out_ref = L.a52_downmix_init(acmod, outreq | 32,
+                                             C.byref(lv), clev, slev)
+                my_out, my_lvl = P.downmix_init(acmod, outreq | 32, 1.0,
+                                                clev, slev)
+                assert out_ref == my_out
+                assert np.float32(lv.value) == np.float32(my_lvl)
+                lvl2 = np.float32(np.float64(np.float32(lv.value)) * 2.0)
+                cr = (C.c_float * 5)()
+                cb = L.a52_downmix_coeff(cr, acmod, out_ref, lvl2, clev, slev)
+                mc, mcb = P.downmix_coeff(acmod, out_ref, lvl2, clev, slev)
+                assert cb == mcb
+                assert all(np.float32(cr[k]) == mc[k] for k in range(5))
