@@ -311,8 +311,11 @@ def encode_pipeline(cfg: EncoderConfig):
             return (avail_total - frame_bits - bits_used(snro)) >= 0
 
         # --- exact replay of the reference SNR walk ------------------------
-        call = jnp.arange(64, dtype=jnp.int32)
-        fits_c = fits(call[:, None], 0)                   # [64, B]
+        # evaluate all 64 coarse offsets; chunked (8x8) so the candidate
+        # bap tensors stay ~B*9MB instead of 64x that
+        call = jnp.arange(64, dtype=jnp.int32).reshape(8, 8)
+        fits_c = jax.lax.map(
+            lambda cc: fits(cc[:, None], 0), call).reshape(64, -1)  # [64, B]
         # down: c = start, start-4, ... first fitting (must exist)
         kdown = jnp.arange(17, dtype=jnp.int32)
         cdown = csnroffst[None, :] - 4 * kdown[:, None]

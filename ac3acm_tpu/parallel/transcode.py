@@ -1,0 +1,108 @@
+"""Transcode pipeline: N-stream AC-3 decode -> downmix -> re-encode.
+
+BASELINE.json config 5.  One fused jit step per frame batch: the decoder's
+block scan produces PCM, the int16 conversion and the encoder's
+window/MDCT/exponent/rate-control stages consume it directly on device --
+no host round trip between the codecs.  Host work is parse-in (native C++
+pre-pass) and pack-out (bit packing + CRC).
+
+Sharded over the mesh 'data' axis like the decode pipeline; carries are
+(decoder delay/downmixed, encoder last_samples/csnroffst) per stream.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import tables as T
+from ..models.decoder import StreamFormat, _block_step
+from ..models.encoder import EncoderConfig, encode_pipeline
+from ..ops.filterbank import convert_to_int16
+
+
+@lru_cache(maxsize=8)
+def transcode_pipeline(dec_fmt: StreamFormat, enc_cfg: EncoderConfig,
+                       mesh=None):
+    """jitted: (dec_carry, blocks, enc_last, enc_csnr) ->
+    (dec_carry', enc_last', enc_csnr', enc_fields, pcm_i16)
+
+    blocks: decoder block tensors [B, 6, ...] (one frame per stream).
+    The decoded PCM (bias must be 384 in the parse) becomes the encoder's
+    input frame.  Decoder output channel count must equal enc_cfg.channels.
+    """
+    enc_fn = encode_pipeline(enc_cfg)      # jit-of-jit inlines cleanly
+
+    def one_stream(carry, blocks):
+        return jax.lax.scan(partial(_block_step, dec_fmt), carry, blocks)
+
+    # decoder plane order -> AC-3 coded channel order for the encoder:
+    # with LFE the decoder puts it in plane 0 but the encoder codes it last
+    nch = dec_fmt.nch_out
+    perm = list(range(1, nch)) + [0] if dec_fmt.lfe_out else list(range(nch))
+
+    def run(dec_carry, blocks, enc_last, enc_csnr):
+        dec_carry, pcm = jax.vmap(one_stream)(dec_carry, blocks)
+        i16 = convert_to_int16(pcm)                    # [B, 6, nch, 256]
+        i16 = i16[:, :, jnp.asarray(perm), :]
+        samples = i16.transpose(0, 1, 3, 2).reshape(
+            pcm.shape[0], 6 * 256, nch).astype(jnp.int32)
+        enc = enc_fn(samples, enc_last, enc_csnr)
+        return dec_carry, enc, i16
+
+    if mesh is None:
+        return jax.jit(run)
+    shard = NamedSharding(mesh, P("data"))
+    return jax.jit(run, in_shardings=(shard, shard, shard, shard),
+                   out_shardings=(shard, shard, shard))
+
+
+class Transcoder:
+    """N same-format streams: AC-3 in -> AC-3 out (re-encode at new rate)."""
+
+    def __init__(self, batch: int, out_bitrate: int, out_channels: int,
+                 sample_rate: int = 48000, mesh=None):
+        from ..host.native import NativeParser
+        from ..models.encoder import make_config
+        self.batch = batch
+        self.enc_cfg = make_config(sample_rate, out_bitrate, out_channels)
+        self.mesh = mesh
+        self.parsers = [NativeParser() for _ in range(batch)]
+        self.dec_carry = (jnp.zeros((batch, 6, 128), jnp.float32),
+                          jnp.ones((batch,), bool))
+        self.enc_last = jnp.zeros((batch, out_channels, 256), jnp.int32)
+        self.enc_csnr = jnp.full((batch,), 40, jnp.int32)
+        self.out_channels = out_channels
+        self._fn = None
+        self._fmt = None
+
+    def step(self, frames: list[bytes]):
+        """One frame per stream in; one re-encoded frame per stream out."""
+        from ..host import pack as PK
+        assert len(frames) == self.batch
+        # decode request: match the encoder channel count
+        want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
+                4: T.A52_2F2R, 5: T.A52_3F2R,
+                6: T.A52_3F2R | T.A52_LFE}[self.out_channels]
+        flags = want | T.A52_ADJUST_LEVEL
+        allb = [p.decode_frames(fb, 1, flags, 1.0, 384.0)
+                for p, fb in zip(self.parsers, frames)]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                               *[b for b, _ in allb])
+        meta = allb[0][1]
+        fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
+                           slev_zero=meta["slev"] == 0.0,
+                           chanbias=meta["chanbias"])
+        if fmt != self._fmt:
+            self._fmt = fmt
+            self._fn = transcode_pipeline(fmt, self.enc_cfg, self.mesh)
+        self.dec_carry, enc, _ = self._fn(self.dec_carry, stacked,
+                                          self.enc_last, self.enc_csnr)
+        enc = {k: np.asarray(v) for k, v in enc.items()}
+        self.enc_last = enc["new_last"]
+        self.enc_csnr = enc["new_csnr"]
+        return [PK.pack_frame(self.enc_cfg, enc, b) for b in range(self.batch)]

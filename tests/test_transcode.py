@@ -1,0 +1,48 @@
+"""Transcode pipeline (config 5): 5.1 AC-3 -> stereo AC-3 re-encode."""
+import os
+
+import numpy as np
+
+import ac3acm_tpu.tables as T
+from ac3acm_tpu.parallel.transcode import Transcoder
+from tests.refbuild import get_ref
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "bench_51_448.ac3")
+
+
+def _frames(es):
+    from ac3acm_tpu.io.demux import es_frames
+    return [f for f, _, _ in es_frames(es)]
+
+
+def test_transcode_51_to_stereo():
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)
+    batch = 4
+    tc = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    out_streams = [b""] * batch
+    for f in frames:
+        outs = tc.step([f] * batch)
+        for b in range(batch):
+            out_streams[b] += outs[b]
+    # all lanes identical input -> identical output
+    assert all(s == out_streams[0] for s in out_streams)
+    out = out_streams[0]
+    assert len(out) == len(frames) * 768          # 192 kbps frames
+    assert out[:2] == b"\x0b\x77"
+
+    # verify with the reference decoder: transcoded stream must decode to
+    # audio close to the direct stereo downmix of the source
+    ref = get_ref()
+    _, direct = ref.decode_stream(es, T.A52_STEREO)
+    _, trans = ref.decode_stream(out, T.A52_STEREO)
+    assert trans.shape[0] == direct.shape[0]
+    # 256-sample codec latency on the re-encode; compare aligned region
+    d = direct.reshape(-1, 2, 256).transpose(0, 2, 1).reshape(-1, 2)
+    t = trans.reshape(-1, 2, 256).transpose(0, 2, 1).reshape(-1, 2)
+    a = t[256:]
+    b = d[: a.shape[0]]
+    num = (b.astype(np.float64) ** 2).mean()
+    den = ((a - b).astype(np.float64) ** 2).mean()
+    snr = 10 * np.log10(num / den)
+    assert snr > 10.0, snr
