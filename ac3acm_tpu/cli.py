@@ -30,7 +30,6 @@ def _open_out(path):
 
 
 def cmd_decode(args):
-    from .models.decoder import Decoder
     data = open(args.input, "rb").read() if args.input != "-" \
         else sys.stdin.buffer.read()
     es = demux.extract_es(data, args.container, args.track, args.pid)
@@ -45,22 +44,56 @@ def cmd_decode(args):
     flags |= T.A52_ADJUST_LEVEL
     level *= 2.0 ** (args.gain / 6.0)
 
-    dec = Decoder()
-    if not args.drc:
-        dec.set_drc_enabled(False)
     meter = FpsMeter(srate, enabled=not args.quiet)
-    frames = [f for f, _, _ in demux.es_frames(es)]
-    chunk = max(1, args.chunk_frames)
-    for i in range(0, len(frames), chunk):
-        pcm, fmt = dec.decode_frames(frames[i:i + chunk], flags, level, bias)
-        for blk in pcm:
-            sink.play(fmt.output, blk)
-        meter.tick(len(frames[i:i + chunk]))
+    if args.backend == "native":
+        # bit-exact C++ backend; low-latency single-stream path
+        from .host.native import NativeDecoder
+        from .host.parse import syncinfo
+        dec = NativeDecoder()
+        if not args.drc:
+            dec.set_drc_enabled(False)
+        pos = 0
+        while pos + 7 <= len(es):
+            size, fl, _, _ = syncinfo(es[pos:pos + 7])
+            if size == 0:
+                pos += 1
+                continue
+            if pos + size > len(es):
+                break
+            out = dec.decode_stream(es[pos:pos + size], flags, level, bias)
+            outf = (fl if (flags & T.A52_CHANNEL_MASK) > 7 or True else fl)
+            for blk in out:
+                sink.play(_native_outmode(fl, flags), blk)
+            meter.tick(1)
+            pos += size
+    else:
+        from .models.decoder import Decoder
+        dec = Decoder()
+        if not args.drc:
+            dec.set_drc_enabled(False)
+        frames = [f for f, _, _ in demux.es_frames(es)]
+        chunk = max(1, args.chunk_frames)
+        for i in range(0, len(frames), chunk):
+            pcm, fmt = dec.decode_frames(frames[i:i + chunk], flags, level,
+                                         bias)
+            for blk in pcm:
+                sink.play(fmt.output, blk)
+            meter.tick(len(frames[i:i + chunk]))
     meter.close()
     sink.close()
     if fp is not sys.stdout.buffer:
         fp.close()
     return 0
+
+
+def _native_outmode(coded_flags: int, req_flags: int) -> int:
+    """Negotiated output mode for sink channel ordering."""
+    from .host.parse import downmix_init
+    out, _ = downmix_init(coded_flags & 7, req_flags, 1.0,
+                          np.float32(0.5), np.float32(0.5))
+    if (coded_flags & T.A52_LFE) and (req_flags & T.A52_LFE):
+        out |= T.A52_LFE
+    return out
 
 
 def _read_wav(path):
@@ -155,6 +188,8 @@ def main(argv=None):
                    help="sink: wav wavdolby wav6 float null null4 null6 "
                         "peak peakdolby aif aifdolby")
     d.add_argument("-g", "--gain", type=float, default=0.0, help="gain in dB")
+    d.add_argument("--backend", default="native", choices=["native", "tpu"],
+                   help="native: bit-exact C++ CPU path; tpu: device pipeline")
     d.add_argument("--no-drc", dest="drc", action="store_false")
     d.add_argument("--container", default="auto", choices=["auto", "es", "ps", "ts"])
     d.add_argument("--track", type=lambda x: int(x, 0), default=0)

@@ -123,6 +123,98 @@ def _block_step(fmt: StreamFormat, carry, blk):
     return carry, pcm
 
 
+def _pipeline_body(fmt: StreamFormat, carry, blocks):
+    """All blocks of a chunk at once: the filterbank matmuls are hoisted out
+    of the sequential part (the OLA carry only feeds the cheap window
+    epilogue), so blocks x channels x streams fuse into one MXU matmul and
+    the scan body is elementwise.  Equivalent to scanning _block_step
+    (guarded by tests)."""
+    from ..ops.filterbank import _mats, HIGHEST
+
+    w_long, w_short, win = _mats()
+    win_r = win[::-1].copy()
+    nf = fmt.nfchans
+    reduces = fmt.nf_out < fmt.nfchans
+
+    def split_fb(coeffs, blksw):
+        blk = blksw[..., None]
+        c_long = jnp.where(blk, 0.0, coeffs)
+        c_short = jnp.where(blk, coeffs, 0.0)
+        zd = (jnp.matmul(c_long, jnp.asarray(w_long), precision=HIGHEST)
+              + jnp.matmul(c_short, jnp.asarray(w_short), precision=HIGHEST))
+        return zd[..., :256], zd[..., 256:]
+
+    def ola(z, delay, bias):
+        dfold = jnp.concatenate([delay, delay[..., ::-1]], axis=-1)
+        return z * jnp.asarray(win) + dfold * jnp.asarray(win_r) + bias
+
+    freq = (blocks["q"] * blocks["a"]) * blocks["b"]     # [n, 6, 256]
+    if fmt.acmod == T.A52_STEREO:
+        s0, s1 = freq[:, 0], freq[:, 1]
+        m = blocks["remat"]
+        freq = freq.at[:, 0].set(jnp.where(m, s0 + s1, s0))
+        freq = freq.at[:, 1].set(jnp.where(m, s0 - s1, s1))
+
+    blksw = blocks["blksw"]                              # [n, 5]
+    coeff = blocks["coeff"]
+    bias = blocks["bias"]                                # [n]
+    fbw = freq[:, :5]
+
+    z_t, d_t = split_fb(fbw, blksw)
+    per = dict(z_t=z_t, d_t=d_t, blksw=blksw, coeff=coeff, bias=bias)
+    if reduces:
+        zero = jnp.zeros((), freq.dtype)
+        f_freq = jax.vmap(lambda p: downmix(p, fmt.acmod, fmt.output, zero,
+                                            slev_zero=fmt.slev_zero))(fbw)
+        blk0 = jnp.broadcast_to(blksw[:, :1], blksw.shape)
+        z_f, d_f = split_fb(f_freq, blk0)
+        per.update(z_f=z_f, d_f=d_f)
+    if fmt.lfe_out:
+        z_l, d_l = split_fb(freq[:, 5], jnp.zeros(freq.shape[0], bool))
+        per.update(z_l=z_l, d_l=d_l)
+
+    bias_mask = jnp.asarray([(fmt.chanbias >> i) & 1 for i in range(5)], bool)
+
+    def step(c, p):
+        delay, downmixed = c
+        b = p["bias"]
+        new_delay = delay
+        outs = []
+        if fmt.lfe_out:
+            lfe = ola(p["z_l"], delay[5], b)
+            new_delay = new_delay.at[5].set(p["d_l"])
+            outs.append(lfe[None])
+        bias_vec = jnp.where(bias_mask, 0.0, b)[:, None]
+        delay_t = jnp.where(downmixed, upmix(delay[:5], fmt.acmod, fmt.output),
+                            delay[:5])
+        t_out = ola(p["z_t"], delay_t, bias_vec)
+        zero_ch = (p["coeff"] == 0.0)[:, None]
+        t_out = jnp.where(zero_ch, b, t_out)
+        t_dnew = jnp.where(zero_ch, delay_t, p["d_t"])
+        t_mixed = downmix(t_out, fmt.acmod, fmt.output, b,
+                          slev_zero=fmt.slev_zero)
+        if not reduces:
+            out = t_mixed
+            new_delay = new_delay.at[:5].set(t_dnew)
+            c = (new_delay, jnp.zeros((), bool))
+        else:
+            zero = jnp.zeros((), t_out.dtype)
+            delay_f = jnp.where(downmixed, delay[:5],
+                                downmix(delay[:5], fmt.acmod, fmt.output,
+                                        zero, slev_zero=fmt.slev_zero))
+            f_out = ola(p["z_f"], delay_f, b)
+            uniform = jnp.all(p["blksw"][:nf] == p["blksw"][0])
+            out = jnp.where(uniform, f_out, t_mixed)
+            new_delay = new_delay.at[:5].set(
+                jnp.where(uniform, p["d_f"], t_dnew))
+            c = (new_delay, uniform)
+        pcm = jnp.concatenate(outs + [out[: fmt.nf_out]], axis=0) \
+            if outs else out[: fmt.nf_out]
+        return c, pcm
+
+    return jax.lax.scan(step, carry, per)
+
+
 @lru_cache(maxsize=64)
 def block_pipeline(fmt: StreamFormat):
     """jitted (carry, blocks) -> (carry, pcm [nblk, nch_out, 256]).
@@ -130,9 +222,7 @@ def block_pipeline(fmt: StreamFormat):
     blocks: pytree of stacked per-block tensors with leading nblk axis.
     Batched variants vmap this over a leading stream axis.
     """
-    def run(carry, blocks):
-        return jax.lax.scan(partial(_block_step, fmt), carry, blocks)
-    return jax.jit(run)
+    return jax.jit(partial(_pipeline_body, fmt))
 
 
 def init_carry(batch_shape=()):

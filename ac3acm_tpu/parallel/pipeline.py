@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import tables as T
-from ..models.decoder import StreamFormat, _block_step
+from ..models.decoder import StreamFormat, _pipeline_body
 from ..ops.filterbank import convert_to_int16
 from .mesh import make_mesh
 
@@ -33,11 +33,8 @@ def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False):
     blocks: pytree with leading [B, nblk, ...] axes.
     pcm: [B, nblk, nch_out, 256] float32 (or int16 when emit_int16).
     """
-    def one_stream(carry, blocks):
-        return jax.lax.scan(partial(_block_step, fmt), carry, blocks)
-
     def run(carry, blocks):
-        carry, pcm = jax.vmap(one_stream)(carry, blocks)
+        carry, pcm = jax.vmap(partial(_pipeline_body, fmt))(carry, blocks)
         if emit_int16:
             pcm = convert_to_int16(pcm)
         return carry, pcm

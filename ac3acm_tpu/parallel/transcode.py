@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import tables as T
-from ..models.decoder import StreamFormat, _block_step
+from ..models.decoder import StreamFormat, _pipeline_body
 from ..models.encoder import EncoderConfig, encode_pipeline
 from ..ops.filterbank import convert_to_int16
 
@@ -38,7 +38,7 @@ def transcode_pipeline(dec_fmt: StreamFormat, enc_cfg: EncoderConfig,
     enc_fn = encode_pipeline(enc_cfg)      # jit-of-jit inlines cleanly
 
     def one_stream(carry, blocks):
-        return jax.lax.scan(partial(_block_step, dec_fmt), carry, blocks)
+        return _pipeline_body(dec_fmt, carry, blocks)
 
     # decoder plane order -> AC-3 coded channel order for the encoder:
     # with LFE the decoder puts it in plane 0 but the encoder codes it last
