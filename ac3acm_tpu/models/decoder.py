@@ -166,7 +166,11 @@ def _pipeline_body(fmt: StreamFormat, carry, blocks):
         zero = jnp.zeros((), freq.dtype)
         f_freq = jax.vmap(lambda p: downmix(p, fmt.acmod, fmt.output, zero,
                                             slev_zero=fmt.slev_zero))(fbw)
-        blk0 = jnp.broadcast_to(blksw[:, :1], blksw.shape)
+        # only the nf_out output channels are transformed on this path
+        # (parse.c:918-936); upper delay planes stay stale, and every
+        # upmix case only reads/zeroes them, never consumes them
+        f_freq = f_freq[:, : fmt.nf_out]
+        blk0 = jnp.broadcast_to(blksw[:, :1], (blksw.shape[0], fmt.nf_out))
         z_f, d_f = split_fb(f_freq, blk0)
         per.update(z_f=z_f, d_f=d_f)
     if fmt.lfe_out:
@@ -202,12 +206,16 @@ def _pipeline_body(fmt: StreamFormat, carry, blocks):
             delay_f = jnp.where(downmixed, delay[:5],
                                 downmix(delay[:5], fmt.acmod, fmt.output,
                                         zero, slev_zero=fmt.slev_zero))
-            f_out = ola(p["z_f"], delay_f, b)
+            nfo = fmt.nf_out
+            f_out = ola(p["z_f"], delay_f[:nfo], b)
             uniform = jnp.all(p["blksw"][:nf] == p["blksw"][0])
-            out = jnp.where(uniform, f_out, t_mixed)
+            out = jnp.where(uniform, f_out, t_mixed[:nfo])
+            d_f_full = jnp.concatenate([p["d_f"], delay_f[nfo:]], axis=0)
             new_delay = new_delay.at[:5].set(
-                jnp.where(uniform, p["d_f"], t_dnew))
+                jnp.where(uniform, d_f_full, t_dnew))
             c = (new_delay, uniform)
+            pcm = jnp.concatenate(outs + [out], axis=0) if outs else out
+            return c, pcm
         pcm = jnp.concatenate(outs + [out[: fmt.nf_out]], axis=0) \
             if outs else out[: fmt.nf_out]
         return c, pcm

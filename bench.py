@@ -3,15 +3,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config 2 of BASELINE.json: N concurrent 5.1 streams, DRC on, downmixed to
-2.0.  Metric is the aggregate realtime factor per chip for the device
-decode pipeline (dequant -> rematrix -> IMDCT filterbank -> downmix ->
-int16), steady-state, host pre-pass pipelined on CPU threads.
+2.0, int16 output.  One jit call decodes a 16-frame chunk for all N
+streams; timing uses a device-side checksum fetched to the host as the
+barrier (plain block_until_ready is unreliable through the axon tunnel),
+best of 5 steady-state calls, warmed up with the identical sequence.
 vs_baseline is against the 10,000x-realtime north star.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -21,76 +23,63 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
+def load_blocks(nframes: int):
+    """Real coded content from the golden 5.1 stream, tiled to nframes."""
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import NativeParser
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden", "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    p = NativeParser()
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    blocks, meta = p.decode_frames(es * ((nframes // 8) + 1), nframes,
+                                   flags, 1.0, 384.0)
+    blocks = {k: v[: nframes * 6] for k, v in blocks.items()}
+    return blocks, meta
+
+
 def main():
     import jax
+    import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     import ac3acm_tpu.tables as T
     from ac3acm_tpu.models.decoder import StreamFormat
     from ac3acm_tpu.parallel.pipeline import batched_pipeline, init_batched_carry
-    from ac3acm_tpu.host.parse import A52Parser
-    from ac3acm_tpu.models.decoder import _stack_blocks
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    nblk = 6                      # one frame per step
-    reps = int(os.environ.get("BENCH_REPS", "50"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    nframes = int(os.environ.get("BENCH_FRAMES", "16"))
+    nblk = nframes * 6
 
-    # Real coded content: decode the committed golden 5.1 stream to build
-    # genuine per-block tensors, then tile them across the batch.
-    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tests", "golden", "bench_51_448.ac3")
-    fmt = StreamFormat(acmod=T.A52_3F2R, output=T.A52_STEREO,
-                       slev_zero=False, chanbias=31)
-    if os.path.exists(golden):
-        es = open(golden, "rb").read()
-        parser = A52Parser()
-        frames = []
-        pos = 0
-        from ac3acm_tpu.host.parse import syncinfo, downmix_coeff
-        while pos + 7 <= len(es) and len(frames) < 8:
-            size, _, _, _ = syncinfo(es[pos:pos + 7])
-            if size == 0:
-                pos += 1
-                continue
-            frames.append(parser.decode_frame(
-                es[pos:pos + size], T.A52_STEREO | T.A52_ADJUST_LEVEL, 1.0, 384.0))
-            pos += size
-        s = parser.s
-        fmt = StreamFormat(acmod=s.acmod, output=s.output,
-                           slev_zero=bool(s.slev == 0.0),
-                           chanbias=int(downmix_coeff(s.acmod, s.output, 1.0,
-                                                      s.clev, s.slev)[1]))
-        one = _stack_blocks(frames[:1])
-    else:
-        rng = np.random.default_rng(0)
-        one = {
-            "q": rng.standard_normal((nblk, 6, 256)).astype(np.float32),
-            "a": np.full((nblk, 6, 256), 2.0 ** -15, np.float32),
-            "b": np.ones((nblk, 6, 256), np.float32),
-            "blksw": np.zeros((nblk, 5), bool),
-            "coeff": np.ones((nblk, 5), np.float32),
-            "remat": np.zeros((nblk, 256), bool),
-            "bias": np.full(nblk, 384.0, np.float32),
-        }
-
-    import jax.numpy as jnp
+    blocks1, meta = load_blocks(nframes)
+    fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
+                       slev_zero=meta["slev"] == 0.0,
+                       chanbias=meta["chanbias"])
     blocks = jax.tree.map(
-        lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape).copy()), one)
+        lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape).copy()),
+        blocks1)
+
     fn = batched_pipeline(fmt, emit_int16=True)
     carry = init_batched_carry(batch)
+    chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
-    # warmup / compile
-    carry, pcm = fn(carry, blocks)
-    jax.block_until_ready(pcm)
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(2):                       # warmup incl. the barrier
         carry, pcm = fn(carry, blocks)
-    jax.block_until_ready(pcm)
-    dt = time.perf_counter() - t0
+        _ = int(chk(pcm))
 
-    audio_seconds = reps * batch * nblk * 256 / 48000.0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        carry, pcm = fn(carry, blocks)
+        _ = int(chk(pcm))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    audio_seconds = batch * nblk * 256 / 48000.0
     rtf = audio_seconds / dt
+    print(f"bench: {batch} streams x {nframes} frames/call, "
+          f"best {dt * 1000:.1f} ms/call (runs: "
+          f"{[round(t * 1000) for t in times]} ms)", file=sys.stderr)
     print(json.dumps({
         "metric": "batched 5.1->2.0 decode realtime factor per chip (device pipeline)",
         "value": round(rtf, 1),

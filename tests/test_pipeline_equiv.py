@@ -40,9 +40,15 @@ def test_hoisted_pipeline_equivalence(fmt):
     c2, p2 = fast_fn(init_carry(), blocks)
     p1, p2 = np.asarray(p1), np.asarray(p2)
     # identical math modulo matmul accumulation shape (vector-matrix in the
-    # scan vs matrix-matrix hoisted): allow ~1 ulp of the peak
+    # scan vs matrix-matrix hoisted): allow ~1 ulp of the peak.  Carries may
+    # differ in never-read upper delay planes, so equivalence is checked
+    # behaviourally: decode a continuation chunk from each carry.
     tol = 4e-6 * max(np.abs(p1).max(), 1.0)
     np.testing.assert_allclose(p1, p2, rtol=0, atol=tol)
-    np.testing.assert_allclose(np.asarray(c1[0]), np.asarray(c2[0]),
-                               rtol=0, atol=tol)
     np.testing.assert_array_equal(np.asarray(c1[1]), np.asarray(c2[1]))
+    blocks2 = _rand_blocks(np.random.default_rng(7), 12)
+    _, q1 = ref_fn(c1, blocks2)
+    _, q2 = fast_fn(c2, blocks2)
+    q1, q2 = np.asarray(q1), np.asarray(q2)
+    tol2 = 4e-6 * max(np.abs(q1).max(), 1.0)
+    np.testing.assert_allclose(q1, q2, rtol=0, atol=tol2)
