@@ -226,3 +226,28 @@ class PcmToAc3Stream:
         out = self.enc.encode(pcm[: nfr * T.FRAME_SAMPLES]) if nfr else b""
         self.carry = pcm[nfr * T.FRAME_SAMPLES:]
         return out
+
+
+def stream_size(src_is_ac3: bool, src_len: int, ac3: Ac3Format,
+                pcm: PcmFormat, query_source: bool = True) -> int:
+    """Worst-case buffer math (stream_size, AC3ACM.cpp:2139-2363).
+
+    query_source=True: given a source buffer of src_len bytes, the
+    destination size needed to hold all converted data.
+    query_source=False: given a destination of src_len bytes, the largest
+    source buffer size it can absorb.
+    """
+    frame_len = ac3.block_align
+    pcm_frame = T.FRAME_SAMPLES * pcm.channels * 2
+    if query_source:
+        if src_is_ac3:
+            nfr = max((src_len + frame_len - 1) // frame_len, 1)
+            return nfr * pcm_frame
+        nfr = max((src_len + pcm_frame - 1) // pcm_frame, 1)
+        # +1 frame of slack for the partial-input carry
+        return (nfr + 1) * frame_len
+    if src_is_ac3:
+        nfr = max(src_len // pcm_frame, 1)
+        return nfr * frame_len
+    nfr = max(src_len // frame_len, 1)
+    return nfr * pcm_frame

@@ -13,7 +13,7 @@ import time
 
 class FpsMeter:
     def __init__(self, sample_rate: int = 48000, period: float = 0.5,
-                 out=sys.stderr, enabled: bool = True):
+                 out=None, enabled: bool = True):
         self.sample_rate = sample_rate
         self.period = period
         self.out = out
@@ -30,7 +30,7 @@ class FpsMeter:
         if now - self.tlast >= self.period:
             fps = (self.frames - self.frames_last) / (now - self.tlast)
             print(f"\r{fps:.1f} frames/sec, {self._xrt(fps):.1f}x realtime ",
-                  end="", file=self.out, flush=True)
+                  end="", file=self.out or sys.stderr, flush=True)
             self.tlast = now
             self.frames_last = self.frames
 
@@ -45,4 +45,4 @@ class FpsMeter:
         if self.enabled:
             print(f"\n{self.frames} frames in {dt:.2f}s "
                   f"({fps:.1f} fps, {self._xrt(fps):.1f}x realtime)",
-                  file=self.out)
+                  file=self.out or sys.stderr)
