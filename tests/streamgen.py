@@ -72,7 +72,7 @@ def _write_exponents_dec(bw, rng, expstr, ngrps, absexp):
 
 
 def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
-              fscod: int = 0, frmsizecod: int = 36,
+              fscod: int = 0, frmsizecod: int = 36, halfratecod: int = 0,
               want_cpl=None, want_blksw=None, want_deltba=False,
               want_dynrng=True, zero_snr=False, csnr_cap: int = 34):
     """Generate one frame; returns (bytes, st).  st carries across frames."""
@@ -89,7 +89,7 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
     bw.write(16, 0)                        # crc1 (not checked by decoder)
     bw.write(2, fscod)
     bw.write(6, frmsizecod)
-    bw.write(5, 8)                         # bsid
+    bw.write(5, 8 + halfratecod)           # bsid
     bw.write(3, 0)                         # bsmod
     bw.write(3, acmod)
     if (acmod & 1) and acmod != 1:
@@ -112,7 +112,7 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
     for blk in range(6):
         _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, first and blk == 0,
                    want_cpl, want_blksw, want_deltba, want_dynrng, zero_snr,
-                   csnr_cap)
+                   csnr_cap, halfratecod)
 
     payload = bw.flush()
     total = T.frame_size_bytes(fscod, frmsizecod)
@@ -123,7 +123,7 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
 
 def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
                want_cpl, want_blksw, want_deltba, want_dynrng, zero_snr,
-               csnr_cap=34):
+               csnr_cap=34, halfratecod=0):
     nf = st.nfchans
     blksw = [0] * nf
     if want_blksw and acmod != 0:
@@ -354,7 +354,7 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
         do_bit_alloc = 127
 
     if do_bit_alloc:
-        params = decode_side_params(st.bai, 0)
+        params = decode_side_params(st.bai, halfratecod)
         if _zero_snr(st, nf, lfeon):
             st.cpl_bap[:] = 0
             st.fbw_bap[:] = 0
@@ -365,7 +365,8 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
                     st.cpl_exp, st.cplstrtmant, st.cplendmant,
                     decode_snroffset(st.csnroffst, st.cplba_bai >> 3),
                     int(T.FGAINTAB[st.cplba_bai & 7]), fscod=fscod,
-                    halfratecod=0, cplfleak=st.cplfleak, cplsleak=st.cplsleak,
+                    halfratecod=halfratecod,
+                    cplfleak=st.cplfleak, cplsleak=st.cplsleak,
                     deltba=(st.deltba_cpl
                             if st.deltbae_cpl != T.DELTA_BIT_NONE else None),
                     **params)
@@ -375,7 +376,7 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
                         st.fbw_exp[i], 0, st.endmant[i],
                         decode_snroffset(st.csnroffst, st.ba_bai[i] >> 3),
                         int(T.FGAINTAB[st.ba_bai[i] & 7]), fscod=fscod,
-                        halfratecod=0,
+                        halfratecod=halfratecod,
                         deltba=(st.deltba[i]
                                 if st.deltbae[i] != T.DELTA_BIT_NONE else None),
                         **params)
@@ -386,7 +387,7 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
                     exp7, 0, 7,
                     decode_snroffset(st.csnroffst, st.lfeba_bai >> 3),
                     int(T.FGAINTAB[st.lfeba_bai & 7]), is_lfe=True,
-                    fscod=fscod, halfratecod=0, **params)[:7]
+                    fscod=fscod, halfratecod=halfratecod, **params)[:7]
     cpl_bap, fbw_bap, lfe_bap = st.cpl_bap, st.fbw_bap, st.lfe_bap
 
     q1 = q2 = q4 = 0       # grouped counters (shared incl. coupling + lfe)

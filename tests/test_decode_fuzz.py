@@ -67,3 +67,32 @@ def test_fuzz_decode(name, seed, acmod, lfeon, kw, outf):
     tol = max(0.01, 2e-6 * peak_units)
     assert maxe <= tol, (maxe, tol, peak_units)
     assert mean <= tol / 10 and std <= tol / 5, (mean, std, tol)
+
+
+@pytest.mark.parametrize("name,seed,fscod,frmsizecod,halfrate", [
+    ("44k1_even", 31, 1, 28, 0),
+    ("44k1_odd", 32, 1, 29, 0),
+    ("32k", 33, 2, 30, 0),
+    ("halfrate_24k", 34, 0, 30, 1),
+    ("quarterrate_12k", 35, 0, 32, 2),
+])
+def test_fuzz_rates(name, seed, fscod, frmsizecod, halfrate):
+    """Sample-rate / halfrate-bsid coverage (fscod formulas, bsid 9/10)."""
+    from tests.streamgen import gen_stream
+    ref = get_ref()
+    es = gen_stream(seed, 7, False, nframes=3, fscod=fscod,
+                    frmsizecod=frmsizecod, halfratecod=halfrate,
+                    want_cpl=True)
+    rflags, ref_blocks = ref.decode_stream(es, T.A52_STEREO)
+    assert ref_blocks.shape[0] == 18, "reference rejected stream"
+    # bit-exact native decode
+    from ac3acm_tpu.host.native import NativeDecoder
+    out = NativeDecoder().decode_stream(es, T.A52_STEREO | T.A52_ADJUST_LEVEL)
+    np.testing.assert_array_equal(out.reshape(out.shape[0], -1), ref_blocks)
+    # TPU pipeline within tolerance
+    dec = Decoder()
+    out2, fmt = dec.decode_stream(es, T.A52_STEREO | T.A52_ADJUST_LEVEL)
+    mine = out2.reshape(out2.shape[0], -1)
+    peak_units = max(np.abs(ref_blocks).max(), 1e-9) * 32768
+    maxe, mean, std = compare_oracle(mine, ref_blocks)
+    assert maxe <= max(0.01, 2e-6 * peak_units), maxe
