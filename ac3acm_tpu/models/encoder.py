@@ -299,11 +299,17 @@ def encode_pipeline(cfg: EncoderConfig):
         frame_bits = fixed + exp_bits + 8 * jnp.sum(fbw_new, axis=(1, 2))
         starts = jnp.zeros_like(ends)
 
+        # rate model: psd takes only 25 values (3072 - 128*exp), so per-band
+        # exponent histograms turn each candidate allocation into a handful
+        # of prefix-count gathers -- all 64 coarse and 16 fine offsets are
+        # costed without ever materializing bap (exactly equal to
+        # mantissa_bits(bap_from_mask(...)); see ops.alloc.bits_for_offsets)
+        pref = AL.exp_histogram(enc_exp, ends)
+
         def bits_used(snro):
             # snro [..., B] broadcastable against [B,6,ch,50]
-            bap = AL.bap_from_mask(psd, mask, snro[..., None, None, None],
-                                   floor, starts, ends)
-            mant = AL.mantissa_bits(bap, ends)            # [..., B, 6]
+            mant = AL.bits_for_offsets(pref, mask,
+                                       snro[..., None, None, None], floor)
             return jnp.sum(mant, axis=-1)
 
         def fits(c, f):
@@ -311,11 +317,8 @@ def encode_pipeline(cfg: EncoderConfig):
             return (avail_total - frame_bits - bits_used(snro)) >= 0
 
         # --- exact replay of the reference SNR walk ------------------------
-        # evaluate all 64 coarse offsets; chunked (8x8) so the candidate
-        # bap tensors stay ~B*9MB instead of 64x that
-        call = jnp.arange(64, dtype=jnp.int32).reshape(8, 8)
-        fits_c = jax.lax.map(
-            lambda cc: fits(cc[:, None], 0), call).reshape(64, -1)  # [64, B]
+        call = jnp.arange(64, dtype=jnp.int32)
+        fits_c = fits(call[:, None], 0)                   # [64, B]
         # down: c = start, start-4, ... first fitting (must exist)
         kdown = jnp.arange(17, dtype=jnp.int32)
         cdown = csnroffst[None, :] - 4 * kdown[:, None]

@@ -187,3 +187,71 @@ def mantissa_bits(bap, end):
         w = int(T.BAP_BITS[cls])
         bits = bits + w * count(cls)
     return bits
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based rate estimation for the encoder's SNR-offset search.
+#
+# psd = 3072 - 128*exp takes only 25 distinct values, and within a band all
+# coefficients share the candidate threshold v_b(c) + 32*t, so the bit cost
+# of *all 64* coarse offsets reduces to per-band exponent histograms
+# (computed once) plus tiny prefix-sum gathers per candidate -- ~1000x less
+# work than materializing bap per candidate.  Exactly equal to
+# mantissa_bits(bap_from_mask(...)) by construction (tested).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _class_bounds():
+    """First address of each bap class k (BAPTAB is monotone)."""
+    lo = np.zeros(16, np.int32)
+    for k in range(1, 16):
+        lo[k] = int(np.argmax(T.BAPTAB >= k))
+    return lo
+
+def exp_histogram(exp, ends):
+    """exp [..., C, 256] int32 -> per-band exponent histogram
+    H [..., C, 50, 25] where H[..., b, e] = #coeffs in band b (< end)
+    with exponent == e."""
+    idx, valid = _band_layout()
+    e = exp[..., idx]                                   # [..., C, 50, 24]
+    live = valid & (idx < ends[..., None, None])
+    onehot = (e[..., None] == jnp.arange(25)) & live[..., None]
+    return jnp.sum(onehot, axis=-2).astype(jnp.float32)  # [..., C, 50, 25]
+
+
+def bits_for_offsets(hist, mask, snro, floor):
+    """Grouped-mantissa bit cost for many SNR offsets at once.
+
+    hist: exp_histogram output [..., C, 50, 25] (float32)
+    mask: [..., C, 50] (snroffset-independent masking curve)
+    snro: broadcastable against mask (same convention as bap_from_mask --
+          e.g. candidates[:, None, None, None, None] for a leading axis)
+    -> bits [S, ..., blocks...]: per-block cost summed over channels and
+    coefficients, grouped-class ceils applied after the channel sum
+    (compute_mantissa_size semantics, ac3enc.cpp:764-810).
+
+    Gather-free: a coeff with exponent e has address >= t iff
+    psd - v >= 32t with psd = 3072 - 128e, so each boundary count is a
+    compare-and-accumulate over the 25 exponent bins -- one fused
+    elementwise kernel, no bap tensor, no HBM-resident per-candidate
+    per-coefficient state.
+    """
+    lo = _class_bounds()
+    v = mask - snro - floor
+    v = jnp.where(v < 0, 0, v)
+    v = (v & 0x1FE0) + floor                            # [S, ..., C, 50]
+    t32 = jnp.asarray(32 * lo[1:].astype(np.int32))     # boundaries t_1..t_15
+    base = (3072 - v)[..., None] - t32                  # [S, ..., C, 50, 15]
+    ge = jnp.zeros(v.shape[:-2] + (len(lo) - 1,), jnp.float32)
+    for e in range(25):
+        cmp = (base >= 128 * e).astype(jnp.float32)
+        ge = ge + jnp.sum(hist[..., e, None] * cmp, axis=(-3, -2))
+    ge = ge.astype(jnp.int32)                           # [S, ..., 15]
+    nk = jnp.concatenate([ge[..., :-1] - ge[..., 1:], ge[..., -1:]], -1)
+    n1, n2, n3, n4 = nk[..., 0], nk[..., 1], nk[..., 2], nk[..., 3]
+    bits = (5 * ((n1 + 2) // 3) + 7 * ((n2 + 2) // 3) + 3 * n3
+            + 7 * ((n4 + 1) // 2))
+    widths = T.BAP_BITS[5:16]                           # classes 5..15
+    for j, w in enumerate(widths):
+        bits = bits + int(w) * nk[..., 4 + j]
+    return bits

@@ -46,3 +46,20 @@ def test_transcode_51_to_stereo():
     den = ((a - b).astype(np.float64) ** 2).mean()
     snr = 10 * np.log10(num / den)
     assert snr > 10.0, snr
+
+
+def test_batched_encoder_matches_reference():
+    from ac3acm_tpu.parallel.encode import BatchedEncoder
+    from tests.test_decode import make_pcm
+    batch = 3
+    pcms = [make_pcm(2, 2, seed=100 + i) for i in range(batch)]
+    enc = BatchedEncoder(batch, 48000, 192000, 2)
+    out = [b""] * batch
+    for fi in range(2):
+        step = np.stack([p[fi * 1536:(fi + 1) * 1536] for p in pcms])
+        frames = enc.encode_step(step)
+        for b in range(batch):
+            out[b] += frames[b]
+    ref = get_ref()
+    for b in range(batch):
+        assert out[b] == ref.encode(pcms[b], 48000, 192)
