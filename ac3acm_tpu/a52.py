@@ -75,11 +75,16 @@ def a52_frame(state: a52_state_t, buf: bytes, flags: int,
 
 
 def a52_dynrng(state: a52_state_t, call=None, data=None) -> None:
-    """DRC control: a52_dynrng(state) disables dynamic range compression
-    for subsequent frames (callback remapping is supported on the Python
-    decoder backend: ac3acm_tpu.models.decoder.Decoder.dynrng)."""
+    """DRC control (liba52 parse.c:207-216 parity): a52_dynrng(state)
+    disables dynamic range compression; a52_dynrng(state, fn, data) enables
+    it with fn(range, data) -> range remapping the decoded gain before it
+    scales the level (applied inside the native backend via a C callback)."""
     state._drc = bool(call)
     state._dec.set_drc_enabled(state._drc)
+    if callable(call):
+        state._dec.set_dynrng_call(lambda r, _fn=call, _d=data: _fn(r, _d))
+    else:
+        state._dec.set_dynrng_call(None)
 
 
 def a52_block(state: a52_state_t) -> int:

@@ -24,6 +24,9 @@ _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _lock = threading.Lock()
 _lib = None
 
+# a52_dynrng user-callback signature: float fn(float range, void* data)
+DYNRNG_CB = C.CFUNCTYPE(C.c_float, C.c_float, C.c_void_p)
+
 
 class FrameOut(C.Structure):
     _fields_ = [
@@ -172,6 +175,8 @@ class NativeDecoder:
             L.ac3h_dec_new.restype = C.c_void_p
             L.ac3h_dec_free.argtypes = [C.c_void_p]
             L.ac3h_dec_set_drc.argtypes = [C.c_void_p, C.c_int]
+            L.ac3h_dec_set_dynrng_call.argtypes = [C.c_void_p, DYNRNG_CB,
+                                                   C.c_void_p]
             L.ac3h_dec_frame.restype = C.c_int
             L.ac3h_dec_frame.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
                                          C.c_float, C.c_float,
@@ -187,6 +192,15 @@ class NativeDecoder:
 
     def set_drc_enabled(self, enabled: bool):
         self.lib.ac3h_dec_set_drc(self._d, int(enabled))
+
+    def set_dynrng_call(self, fn):
+        """a52_dynrng callback parity (liba52 parse.c:207-216): fn(range)
+        -> new range, applied before the level scale.  Pass None to clear."""
+        if fn is None:
+            self._dyncb = DYNRNG_CB()          # NULL fn pointer
+        else:
+            self._dyncb = DYNRNG_CB(lambda r, _data: float(fn(r)))
+        self.lib.ac3h_dec_set_dynrng_call(self._d, self._dyncb, None)
 
     def decode_stream(self, es: bytes, flags: int, level: float = 1.0,
                       bias: float = 0.0):

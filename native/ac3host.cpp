@@ -493,10 +493,14 @@ struct ChannelBA {
     int8_t deltba[50];
 };
 
+typedef float (*dynrng_cb)(float, void*);
+
 struct Parser {
     int fscod, halfrate, acmod, lfeon, output;
     float clev, slev, level, bias, dynrng;
     int dynrnge;
+    dynrng_cb dyncall;
+    void* dyndata;
     int chincpl, phsflginu;
     int cplstrtmant, cplendmant, cplstrtbnd, ncplbnd;
     uint32_t cplbndstrc;
@@ -539,6 +543,13 @@ extern "C" Parser* ac3h_new() {
 }
 extern "C" void ac3h_free(Parser* p) { delete p; }
 extern "C" void ac3h_set_drc(Parser* p, int enabled) { p->dynrnge = enabled; }
+// a52_dynrng callback parity (liba52 parse.c:207-216,593-594): the user hook
+// remaps the decoded range before it scales the level
+extern "C" void ac3h_set_dynrng_call(Parser* p, dynrng_cb cb, void* data) {
+    p->dyncall = cb;
+    p->dyndata = data;
+    if (cb) p->dynrnge = 1;
+}
 
 static inline float dither_gen(Parser* s) {
     uint16_t nstate = (uint16_t)(g_ditherlut[s->lfsr >> 8] ^ (s->lfsr << 8));
@@ -741,6 +752,7 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk)
             if (s->dynrnge) {
                 float range = (float)(((dynrng & 0x1F) | 0x20) << 13)
                               * g_scale[3 - (dynrng >> 5)];
+                if (s->dyncall) range = s->dyncall(range, s->dyndata);
                 s->dynrng = s->level * range;
             }
         }
@@ -1325,6 +1337,10 @@ extern "C" NativeDecoder* ac3h_dec_new() {
 }
 extern "C" void ac3h_dec_free(NativeDecoder* d) { ac3h_free(d->p); delete d; }
 extern "C" void ac3h_dec_set_drc(NativeDecoder* d, int e) { d->p->dynrnge = e; }
+extern "C" void ac3h_dec_set_dynrng_call(NativeDecoder* d, dynrng_cb cb,
+                                         void* data) {
+    ac3h_set_dynrng_call(d->p, cb, data);
+}
 
 static void native_downmix(float s[6][256], int n, int acmod, int output,
                            float bias, float slev);

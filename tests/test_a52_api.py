@@ -47,3 +47,44 @@ def test_public_namespace():
            and n not in ("annotations", "np", "T")]
     for n in pub:
         assert n.startswith(("a52_", "AC3_", "A52_", "MM_")), n
+
+
+def test_a52_dynrng_callback():
+    """a52_dynrng(state, fn, data) remaps the decoded range inside the
+    native backend (liba52 parse.c:207-216,593-595 parity)."""
+    from tests.streamgen import gen_stream
+    es = gen_stream(7, 2, False, nframes=3, want_cpl=False,
+                    want_deltba=False, want_dynrng=True)
+
+    def decode(callback=None, data=None, disable=False):
+        st = a52.a52_init()
+        if disable:
+            a52.a52_dynrng(st)
+        elif callback is not None:
+            a52.a52_dynrng(st, callback, data)
+        out, pos = [], 0
+        while pos + 7 <= len(es):
+            size, _, _, _ = a52.a52_syncinfo(es[pos:pos + 7])
+            a52.a52_frame(st, es[pos:pos + size], a52.A52_STEREO)
+            for _ in range(6):
+                assert a52.a52_block(st) == 0
+                out.append(a52.a52_samples(st).copy())
+            pos += size
+        a52.a52_free(st)
+        return np.stack(out)
+
+    seen = []
+    def half(r, data):
+        seen.append((r, data))
+        return r * 0.5
+
+    base = decode()
+    halved = decode(half, "userdata")
+    disabled = decode(disable=True)
+    assert seen and all(d == "userdata" for _, d in seen)
+    # identity callback reproduces the default exactly
+    ident = decode(lambda r, d: r)
+    np.testing.assert_array_equal(ident, base)
+    # the stream carries dynrng gains, so remap/disable change the output
+    assert not np.array_equal(halved, base)
+    assert not np.array_equal(disabled, base)
