@@ -1,9 +1,12 @@
 """Stream demultiplexers: AC-3 elementary streams out of MPEG PS / TS.
 
-Generator-based equivalents of the reference's resumable demux state
-machine (a52dec.c:311-539) and ts_loop, plus the raw-ES frame scanner the
-decoder uses.  `extract_es` doubles as the `extract_a52` tool's core
-(src/extract_a52.c parity).
+Equivalents of the reference's resumable demux state machine
+(a52dec.c:311-539) and ts_loop, plus the raw-ES frame scanner the decoder
+uses.  The scan core reports how far it safely consumed, so the
+`PsDemux`/`TsDemux` classes can be fed arbitrary chunks (the NEEDBYTES /
+DONEBYTES resumability of the reference) while the one-shot generators
+cover whole-buffer use.  `extract_es` doubles as the `extract_a52` tool's
+core (src/extract_a52.c parity).
 """
 from __future__ import annotations
 
@@ -14,27 +17,28 @@ from ..host.parse import syncinfo
 _MPEG1_SKIP = [0, 0, 4, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 
 
-def ps_payloads(data: bytes, track: int = 0) -> Iterator[bytes]:
-    """AC-3 payload chunks from an MPEG-1/2 program stream.
-
-    track selects the substream (0x80 + track) inside private stream 1.
-    """
-    want = 0x80 + track
+def _ps_scan(data: bytes, want: int) -> tuple[list[bytes], int, bool]:
+    """-> (payloads, consumed, ended).  Stops at the first entity that
+    runs past the buffer, reporting its start as `consumed` so a caller
+    holding a partial stream can resume there."""
+    out: list[bytes] = []
     pos = 0
     n = len(data)
-    while pos + 4 <= n:
+    while True:
+        if pos + 4 > n:
+            return out, max(pos, 0), False
         if data[pos] or data[pos + 1] or data[pos + 2] != 1:
             pos += 1
             continue
         sid = data[pos + 3]
         if sid == 0xB9:                     # program end
-            return
+            return out, n, True
         if sid == 0xBA:                     # pack header
             if pos + 5 > n:
-                return
+                return out, pos, False
             if (data[pos + 4] & 0xC0) == 0x40:      # mpeg2
                 if pos + 14 > n:
-                    return
+                    return out, pos, False
                 pos += 14 + (data[pos + 13] & 7)
             elif (data[pos + 4] & 0xF0) == 0x20:    # mpeg1
                 pos += 12
@@ -44,14 +48,15 @@ def ps_payloads(data: bytes, track: int = 0) -> Iterator[bytes]:
         if sid < 0xB9:
             raise ValueError("video stream, not a system stream")
         if pos + 6 > n:
-            return
+            return out, pos, False
         pes_len = (data[pos + 4] << 8) | data[pos + 5]
+        end = pos + 6 + pes_len
+        if end > n:
+            return out, pos, False
         if sid != 0xBD:                     # not private stream 1: skip
-            pos += 6 + pes_len
+            pos = end
             continue
-        # private stream 1 PES
-        if pos + 7 > n:
-            return
+        # private stream 1 PES (complete in buffer)
         if (data[pos + 6] & 0xC0) == 0x80:          # mpeg2 PES
             hlen = 9 + data[pos + 8]
         else:                                       # mpeg1 PES
@@ -63,22 +68,33 @@ def ps_payloads(data: bytes, track: int = 0) -> Iterator[bytes]:
             hlen += _MPEG1_SKIP[data[pos + hlen] >> 4] + 1
         sub = data[pos + hlen] if pos + hlen < n else -1
         payload_start = pos + hlen + 4      # substream id + 3 header bytes
-        payload_end = pos + 6 + pes_len
-        if sub == want and payload_end <= n:
-            yield data[payload_start:payload_end]
-        pos = pos + 6 + pes_len
+        if sub == want:
+            out.append(data[payload_start:end])
+        pos = end
 
 
-def ts_payloads(data: bytes, pid: int) -> Iterator[bytes]:
-    """AC-3 PES payload chunks from an MPEG transport stream (188B packets)."""
+def ps_payloads(data: bytes, track: int = 0) -> Iterator[bytes]:
+    """AC-3 payload chunks from an MPEG-1/2 program stream.
+
+    track selects the substream (0x80 + track) inside private stream 1.
+    """
+    payloads, _, _ = _ps_scan(data, 0x80 + track)
+    yield from payloads
+
+
+def _ts_scan(data: bytes, pid: int) -> tuple[list[bytes], int]:
+    """-> (payloads, consumed); trailing partial packet left unconsumed."""
+    out: list[bytes] = []
     pos = data.find(b"\x47")
+    if pos < 0:
+        return out, len(data)
     n = len(data)
-    pes_skip = 0
     while pos + 188 <= n:
         if data[pos] != 0x47:
-            pos = data.find(b"\x47", pos + 1)
-            if pos < 0:
-                return
+            nxt = data.find(b"\x47", pos + 1)
+            if nxt < 0:
+                return out, n
+            pos = nxt
             continue
         pkt = data[pos:pos + 188]
         pos += 188
@@ -95,9 +111,52 @@ def ts_payloads(data: bytes, pid: int) -> Iterator[bytes]:
             if len(p) < 9 or p[0] or p[1] or p[2] != 1:
                 continue
             hlen = 9 + p[8]
-            yield p[hlen:]
+            out.append(p[hlen:])
         else:
-            yield pkt[ofs:]
+            out.append(pkt[ofs:])
+    return out, pos
+
+
+def ts_payloads(data: bytes, pid: int) -> Iterator[bytes]:
+    """AC-3 PES payload chunks from an MPEG transport stream (188B packets)."""
+    payloads, _ = _ts_scan(data, pid)
+    yield from payloads
+
+
+class PsDemux:
+    """Resumable program-stream demux: feed() arbitrary chunks, get ES bytes.
+
+    The reference demuxer keeps its parse state across read() buffers
+    (a52dec.c:311-539 NEEDBYTES/DONEBYTES); here the unconsumed tail is
+    carried so entities split across chunk boundaries reassemble.
+    """
+
+    def __init__(self, track: int = 0):
+        self.want = 0x80 + track
+        self.buf = b""
+        self.ended = False
+
+    def feed(self, chunk: bytes) -> bytes:
+        if self.ended:
+            return b""
+        self.buf += chunk
+        payloads, consumed, self.ended = _ps_scan(self.buf, self.want)
+        self.buf = self.buf[consumed:]
+        return b"".join(payloads)
+
+
+class TsDemux:
+    """Resumable transport-stream demux (chunked ts_payloads)."""
+
+    def __init__(self, pid: int):
+        self.pid = pid
+        self.buf = b""
+
+    def feed(self, chunk: bytes) -> bytes:
+        self.buf += chunk
+        payloads, consumed = _ts_scan(self.buf, self.pid)
+        self.buf = self.buf[consumed:]
+        return b"".join(payloads)
 
 
 def es_frames(es: bytes, start: int = 0) -> Iterator[tuple[bytes, int, int]]:

@@ -11,6 +11,7 @@ LFE-first plane convention and the wav speaker-mask table
 """
 from __future__ import annotations
 
+import os
 import struct
 import sys
 
@@ -209,6 +210,47 @@ class AifSink(Sink):
             self.fp.write(self._header())
 
 
+class OssSink(Sink):
+    """Live playback through OSS (/dev/dsp; audio_out_oss.c parity).
+
+    Registered only when the device exists -- the reference compiles its
+    platform drivers (oss/solaris/al/win) per-OS and the registry simply
+    omits the rest (libao/audio_out.c:56-96); we gate at runtime instead.
+    """
+    name = "oss"
+
+    def __init__(self, flags=T.A52_STEREO, device="/dev/dsp"):
+        import ossaudiodev
+        self.flags = flags
+        self.dev = ossaudiodev.open(device, "w")
+        self.dev.setfmt(ossaudiodev.AFMT_S16_LE)
+        self.rate = None
+
+    def setup(self, sample_rate):
+        nch = 2
+        if (self.flags & T.A52_CHANNEL_MASK) == T.A52_MONO:
+            nch = 1
+        self.dev.channels(nch)
+        if self.rate != sample_rate:            # mode renegotiation (oss:123)
+            self.dev.speed(sample_rate)
+            self.rate = sample_rate
+        return self.flags, 1.0, 384.0
+
+    def play(self, flags, planes):
+        self.dev.write(convert_s16(planes, flags).astype("<i2").tobytes())
+
+    def close(self):
+        self.dev.close()
+
+
+def _have_oss() -> bool:
+    try:
+        import ossaudiodev  # noqa: F401
+    except ImportError:
+        return False
+    return os.path.exists("/dev/dsp")
+
+
 def make_sink(name: str, fp=None):
     """ao_drivers() registry parity (libao/audio_out.c:56-96)."""
     base = {
@@ -225,6 +267,11 @@ def make_sink(name: str, fp=None):
         "aif": lambda: AifSink(fp, T.A52_STEREO),
         "aifdolby": lambda: AifSink(fp, T.A52_DOLBY),
     }
+    if _have_oss():
+        base.update({
+            "oss": lambda: OssSink(T.A52_STEREO),
+            "ossdolby": lambda: OssSink(T.A52_DOLBY),
+        })
     if name not in base:
         raise ValueError(f"unknown output driver {name!r}; "
                          f"available: {', '.join(sorted(base))}")

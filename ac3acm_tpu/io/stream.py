@@ -228,6 +228,14 @@ class PcmToAc3Stream:
         return out
 
 
+def stream_copy(data: bytes, dst_capacity: int | None = None) -> bytes:
+    """Same-format passthrough (stream_copy, AC3ACM.cpp:1801-1826): when
+    source and destination formats match, conversion is a bounded copy."""
+    if dst_capacity is not None and len(data) > dst_capacity:
+        return bytes(data[:dst_capacity])
+    return bytes(data)
+
+
 def stream_size(src_is_ac3: bool, src_len: int, ac3: Ac3Format,
                 pcm: PcmFormat, query_source: bool = True) -> int:
     """Worst-case buffer math (stream_size, AC3ACM.cpp:2139-2363).

@@ -88,3 +88,59 @@ def test_sink_channel_orders():
     assert list(out[:6]) == [2, 4, 3, 1, 5, 6]
     out2 = convert_s16(planes, T.A52_STEREO)
     assert list(out2[:2]) == [1, 2]
+
+
+def test_demux_resumable_chunked():
+    """PsDemux/TsDemux fed odd-sized chunks reproduce the one-shot demux
+    (a52dec.c NEEDBYTES/DONEBYTES resumability)."""
+    from ac3acm_tpu.io import demux
+    es = open(os.path.join(GOLDEN, "mono_96.ac3"), "rb").read()
+
+    # build the same TS as test_demux_ts_ps
+    pid = 0x42
+    ts = bytearray()
+    pos = 0
+    first = True
+    while pos < len(es):
+        chunk = es[pos:pos + 184]
+        pos += 184
+        hdr = bytes([0x47, (0x40 if first else 0) | (pid >> 8), pid & 0xFF, 0x10])
+        if first:
+            pes = b"\x00\x00\x01\xbd" + b"\x00\x00" + b"\x80\x00\x00"
+            body = pes + chunk[: 184 - len(pes)]
+            pos = len(body) - len(pes)
+            first = False
+        else:
+            body = chunk
+        body = body + b"\xff" * (184 - len(body))
+        ts += hdr + body
+    ts = bytes(ts)
+    one_shot = demux.extract_es(ts, "ts", pid=pid)
+    for csz in (61, 188, 517):
+        d = demux.TsDemux(pid)
+        out = b"".join(d.feed(ts[i:i + csz]) for i in range(0, len(ts), csz))
+        assert out == one_shot, csz
+
+    # program stream with several PES packets so boundaries split
+    ps = bytearray(b"\x00\x00\x01\xba"
+                   + bytes([0x44, 0, 4, 0, 4, 1, 0, 1, 0x89, 0xc8]))
+    for off in range(0, len(es), 1000):
+        seg = es[off:off + 1000]
+        pes_len = 3 + 1 + 1 + 3 + len(seg)
+        ps += (b"\x00\x00\x01\xbd" + bytes([pes_len >> 8, pes_len & 0xFF])
+               + b"\x80\x80\x01" + b"\xff" + b"\x80" + b"\x01\x00\x01" + seg)
+    ps += b"\x00\x00\x01\xb9"
+    ps = bytes(ps)
+    one_shot = demux.extract_es(ps, "ps", track=0)
+    assert one_shot == es
+    for csz in (61, 517, 4096):
+        d = demux.PsDemux(track=0)
+        out = b"".join(d.feed(ps[i:i + csz]) for i in range(0, len(ps), csz))
+        assert out == es, csz
+        assert d.ended
+
+
+def test_stream_copy():
+    from ac3acm_tpu.io.stream import stream_copy
+    assert stream_copy(b"abc") == b"abc"
+    assert stream_copy(b"abcdef", dst_capacity=4) == b"abcd"
