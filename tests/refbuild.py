@@ -111,6 +111,121 @@ extern "C" int ref_bit_allocate(
 """
 
 
+def build_variant(kind: str) -> Path:
+    """Compile the 5 liba52 decoder sources with -DLIBA52_FIXED or
+    -DLIBA52_DOUBLE into a separate oracle .so (sample-type variants)."""
+    assert kind in ("fixed", "double")
+    BUILD.mkdir(exist_ok=True)
+    so = BUILD / f"libref_{kind}.so"
+    stamp = BUILD / f"stamp_{kind}"
+    srcs = sorted((REF / "liba52").glob("*.c"))
+    sig = "|".join(f"{s}:{s.stat().st_mtime}" for s in srcs) + "v1"
+    if so.exists() and stamp.exists() and stamp.read_text() == sig:
+        return so
+    (BUILD / "config.h").write_text(_CONFIG_H)
+    dec_srcs = [str(REF / "liba52" / f) for f in
+                ("bitstream.c", "parse.c", "bit_allocate.c",
+                 "imdct.c", "downmix.c")]
+    cmd = (["gcc", "-O2", "-fPIC", "-shared", f"-DLIBA52_{kind.upper()}",
+            "-o", str(so), f"-I{BUILD}", f"-I{REF}/include",
+            f"-I{REF}/liba52"] + dec_srcs + ["-lm"])
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    stamp.write_text(sig)
+    return so
+
+
+class RefVariant:
+    """Decoder oracle for a LIBA52_FIXED / LIBA52_DOUBLE build."""
+
+    def __init__(self, kind: str):
+        import numpy as np
+        self.kind = kind
+        self.lib = ctypes.CDLL(str(build_variant(kind)))
+        self.ct = ctypes.c_int32 if kind == "fixed" else ctypes.c_double
+        self.np_t = np.int32 if kind == "fixed" else np.float64
+        L = self.lib
+        L.a52_init.restype = ctypes.c_void_p
+        L.a52_init.argtypes = [ctypes.c_uint32]
+        L.a52_samples.restype = ctypes.POINTER(self.ct)
+        L.a52_samples.argtypes = [ctypes.c_void_p]
+        L.a52_syncinfo.restype = ctypes.c_int
+        L.a52_syncinfo.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+        L.a52_frame.restype = ctypes.c_int
+        L.a52_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.POINTER(ctypes.c_int),
+                                ctypes.POINTER(self.ct), self.ct]
+        L.a52_block.restype = ctypes.c_int
+        L.a52_block.argtypes = [ctypes.c_void_p]
+        L.a52_free.argtypes = [ctypes.c_void_p]
+
+    def decode_stream(self, es: bytes, flags: int, level=None, bias=None,
+                      adjust_level: bool = True):
+        """Returns (flags, blocks[n, 256*nch]) in the variant's sample type.
+
+        Default level/bias follow the CLI sinks: fixed 1<<26 / 0
+        (audio_out_internal.h:30-32), double 1.0 / 0.0 (float sink)."""
+        import numpy as np
+        if level is None:
+            level = (1 << 26) if self.kind == "fixed" else 1.0
+        if bias is None:
+            bias = 0
+        st = self.lib.a52_init(0)
+        out_blocks = []
+        out_flags = None
+        pos = 0
+        f = ctypes.c_int()
+        sr = ctypes.c_int()
+        br = ctypes.c_int()
+        while pos + 7 <= len(es):
+            n = self.lib.a52_syncinfo(es[pos:pos + 7], ctypes.byref(f),
+                                      ctypes.byref(sr), ctypes.byref(br))
+            if n == 0:
+                pos += 1
+                continue
+            if pos + n > len(es):
+                break
+            fl = ctypes.c_int(flags | (A52_ADJUST_LEVEL if adjust_level
+                                       else 0))
+            lv = self.ct(level)
+            # a52_frame keeps the buffer pointer for a52_block's bitstream
+            # reads -- the frame bytes must stay alive through the blocks
+            frame = es[pos:pos + n]
+            if self.lib.a52_frame(st, frame, ctypes.byref(fl),
+                                  ctypes.byref(lv), self.ct(bias)):
+                pos += n
+                continue
+            out_flags = fl.value
+            nch = _nch_from_flags(fl.value)
+            ok = True
+            blocks = []
+            for _ in range(6):
+                if self.lib.a52_block(st):
+                    ok = False
+                    break
+                smp = self.lib.a52_samples(st)
+                blocks.append(
+                    np.ctypeslib.as_array(smp, shape=(256 * nch,)).copy())
+            if ok:
+                out_blocks.extend(blocks)
+            pos += n
+        self.lib.a52_free(st)
+        import numpy as np
+        return out_flags, (np.stack(out_blocks) if out_blocks
+                           else np.zeros((0, 0), self.np_t))
+
+
+_VARIANTS: dict = {}
+
+
+def get_ref_variant(kind: str) -> RefVariant:
+    if kind not in _VARIANTS:
+        _VARIANTS[kind] = RefVariant(kind)
+    return _VARIANTS[kind]
+
+
 def build() -> Path:
     BUILD.mkdir(exist_ok=True)
     so = BUILD / "libref.so"
