@@ -228,3 +228,85 @@ class NativeDecoder:
         if not out_blocks:
             return np.zeros((0, 0, 256), np.float32)
         return np.concatenate(out_blocks, axis=0)
+
+
+class SampleDecoder:
+    """LIBA52_FIXED / LIBA52_DOUBLE sample-type decode backends.
+
+    The reference compiles to three sample types (include/a52.h:27-36);
+    NativeDecoder is the float build, this wraps the int32-Q30 fixed and
+    double builds (templated over the same arithmetic traits the reference
+    expresses as macros, a52_internal.h:124-163).
+
+    >>> d = SampleDecoder("fixed")
+    >>> pcm = d.decode_stream(es, T.A52_STEREO)    # int32 Q30 planar
+    """
+
+    _KINDS = {"fixed": (0, np.int32), "double": (1, np.float64)}
+
+    def __init__(self, kind: str):
+        if kind not in self._KINDS:
+            raise ValueError(f"kind must be fixed|double, got {kind!r}")
+        self.kind = kind
+        self._k, self._np = self._KINDS[kind]
+        self.lib = get_lib()
+        L = self.lib
+        if not hasattr(L, "_sdec_ready"):
+            L.ac3h_sdec_new.restype = C.c_void_p
+            L.ac3h_sdec_new.argtypes = [C.c_int]
+            L.ac3h_sdec_free.argtypes = [C.c_void_p, C.c_int]
+            L.ac3h_sdec_set_drc.argtypes = [C.c_void_p, C.c_int, C.c_int]
+            for name, ct in (("ac3h_sdec_frame_fixed", C.c_int32),
+                             ("ac3h_sdec_frame_double", C.c_double)):
+                fn = getattr(L, name)
+                fn.restype = C.c_int
+                fn.argtypes = [C.c_void_p, C.c_char_p, C.c_int, C.c_double,
+                               C.c_double, C.POINTER(ct),
+                               C.POINTER(C.c_int32)]
+            L._sdec_ready = True
+        self._d = L.ac3h_sdec_new(self._k)
+        self._frame_fn = (L.ac3h_sdec_frame_fixed if self._k == 0
+                          else L.ac3h_sdec_frame_double)
+        self._ct = C.c_int32 if self._k == 0 else C.c_double
+
+    def __del__(self):
+        if getattr(self, "_d", None):
+            self.lib.ac3h_sdec_free(self._d, self._k)
+            self._d = None
+
+    def set_drc_enabled(self, enabled: bool):
+        self.lib.ac3h_sdec_set_drc(self._d, self._k, int(enabled))
+
+    def decode_stream(self, es: bytes, flags: int, level=None, bias=None):
+        """Returns planar [nblk, nch_out, 256] in the variant's sample type.
+
+        Default level/bias follow the reference CLI's sink conventions:
+        fixed 1<<26 / 0 (audio_out_internal.h:30-32), double 1.0 / 0.0."""
+        from .parse import syncinfo
+        if level is None:
+            level = float(1 << 26) if self._k == 0 else 1.0
+        if bias is None:
+            bias = 0.0
+        out_blocks = []
+        pcm = np.zeros((6, 6, 256), self._np)
+        nch = C.c_int32(0)
+        pos = 0
+        while pos + 7 <= len(es):
+            size, _, _, _ = syncinfo(es[pos:pos + 7])
+            if size == 0:
+                pos += 1
+                continue
+            if pos + size > len(es):
+                break
+            r = self._frame_fn(self._d, es[pos:pos + size], flags,
+                               level, bias,
+                               pcm.ctypes.data_as(C.POINTER(self._ct)),
+                               C.byref(nch))
+            if r == 0:
+                n = int(nch.value)
+                out_blocks.append(
+                    pcm.reshape(-1)[: 6 * n * 256].reshape(6, n, 256).copy())
+            pos += size
+        if not out_blocks:
+            return np.zeros((0, 0, 256), self._np)
+        return np.concatenate(out_blocks, axis=0)

@@ -1688,3 +1688,7 @@ extern "C" void ac3h_dec_get_delay(NativeDecoder* d, float* out, int* dmx) {
     memcpy(out, d->delay, sizeof(d->delay));
     *dmx = d->downmixed;
 }
+
+// sample-type variants (LIBA52_FIXED / LIBA52_DOUBLE semantics): templated
+// over arithmetic traits, sharing this TU's bit reader, allocator and tables
+#include "ac3sample.inc"
