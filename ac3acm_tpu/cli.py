@@ -45,7 +45,35 @@ def cmd_decode(args):
     level *= 2.0 ** (args.gain / 6.0)
 
     meter = FpsMeter(srate, enabled=not args.quiet)
-    if args.backend == "native":
+    if args.sample_type != "float":
+        # LIBA52_FIXED / LIBA52_DOUBLE arithmetic (SampleDecoder); fixed
+        # decodes at level 1<<26 / bias 0 like the reference CLI built with
+        # -DLIBA52_FIXED (audio_out_internal.h:30-32) and converts Q30 to
+        # the sink's float domain afterwards
+        from .host.native import SampleDecoder
+        from .host.parse import syncinfo
+        dec = SampleDecoder(args.sample_type)
+        if not args.drc:
+            dec.set_drc_enabled(False)
+        fixed = args.sample_type == "fixed"
+        lv = float(int((1 << 26) * level)) if fixed else level
+        bs = 0.0 if fixed else bias
+        pos = 0
+        while pos + 7 <= len(es):
+            size, fl, _, _ = syncinfo(es[pos:pos + 7])
+            if size == 0:
+                pos += 1
+                continue
+            if pos + size > len(es):
+                break
+            out = dec.decode_stream(es[pos:pos + size], flags, lv, bs)
+            if fixed:
+                out = out.astype(np.float64) * 2.0 ** -30 + bias
+            for blk in out:
+                sink.play(_native_outmode(fl, flags), blk.astype(np.float32))
+            meter.tick(1)
+            pos += size
+    elif args.backend == "native":
         # bit-exact C++ backend; low-latency single-stream path
         from .host.native import NativeDecoder
         from .host.parse import syncinfo
@@ -188,6 +216,9 @@ def main(argv=None):
                    help="sink: wav wavdolby wav6 float null null4 null6 "
                         "peak peakdolby aif aifdolby")
     d.add_argument("-g", "--gain", type=float, default=0.0, help="gain in dB")
+    d.add_argument("--sample-type", default="float",
+                   choices=["float", "fixed", "double"],
+                   help="decode arithmetic (LIBA52_FIXED/DOUBLE parity)")
     d.add_argument("--backend", default="native", choices=["native", "tpu"],
                    help="native: bit-exact C++ CPU path; tpu: device pipeline")
     d.add_argument("--no-drc", dest="drc", action="store_false")
