@@ -139,10 +139,14 @@ class NativeParser:
         if n == 0:
             return None
         view = np.ctypeslib.as_array(outs)[:n]      # structured array view
+        # dequant on the host: (q*a)*b in f32 is the same IEEE multiply the
+        # device would do, and shipping one tensor instead of three cuts the
+        # host->device volume (and the pipeline's HBM input reads) 3x
+        q = view["q"].reshape(n * 6, 6, 256)
+        a = view["a"].reshape(n * 6, 6, 256)
+        b = view["b"].reshape(n * 6, 6, 256)
         blocks = {
-            "q": view["q"].reshape(n * 6, 6, 256).copy(),
-            "a": view["a"].reshape(n * 6, 6, 256).copy(),
-            "b": view["b"].reshape(n * 6, 6, 256).copy(),
+            "freq": (q * a) * b,
             "blksw": view["blksw"].reshape(n * 6, 5).astype(bool),
             "coeff": view["coeff"].reshape(n * 6, 5).copy(),
             "remat": view["remat"].reshape(n * 6, 256).astype(bool),

@@ -63,7 +63,7 @@ def _block_step(fmt: StreamFormat, carry, blk):
     nf = fmt.nfchans
     bias = blk["bias"]
 
-    freq = (blk["q"] * blk["a"]) * blk["b"]          # [6, 256]
+    freq = blk["freq"]                               # [6, 256] (host dequant)
 
     if fmt.acmod == T.A52_STEREO:
         s0, s1 = freq[0], freq[1]
@@ -148,7 +148,7 @@ def _pipeline_body(fmt: StreamFormat, carry, blocks):
         dfold = jnp.concatenate([delay, delay[..., ::-1]], axis=-1)
         return z * jnp.asarray(win) + dfold * jnp.asarray(win_r) + bias
 
-    freq = (blocks["q"] * blocks["a"]) * blocks["b"]     # [n, 6, 256]
+    freq = blocks["freq"]                                # [n, 6, 256]
     if fmt.acmod == T.A52_STEREO:
         s0, s1 = freq[:, 0], freq[:, 1]
         m = blocks["remat"]
@@ -223,6 +223,110 @@ def _pipeline_body(fmt: StreamFormat, carry, blocks):
     return jax.lax.scan(step, carry, per)
 
 
+def _pipeline_steady(fmt: StreamFormat, carry, blocks):
+    """Scan-free fast path: when every block takes the same strategy, the
+    OLA delay chain is a pure one-block shift (delay[b+1] = d[b]), so the
+    whole chunk is elementwise after the hoisted matmuls.
+
+    Validity (checked on the host by `steady_ok`, dispatched per call):
+      * reduces (freq path): blksw uniform across coded channels in every
+        block -- the path never flips to time-domain;
+      * passthrough (time path): no zero-coeff channel (the reference skips
+        the IMDCT there and KEEPS the old delay, a real recurrence).
+    The entry-state fixups (upmix/downmix of the carried delay) are applied
+    once, exactly as the scan's first step would.
+    """
+    from ..ops.filterbank import _mats, HIGHEST
+
+    w_long, w_short, win = _mats()
+    win_r = win[::-1].copy()
+    reduces = fmt.nf_out < fmt.nfchans
+
+    def split_fb(coeffs, blksw):
+        blk = blksw[..., None]
+        c_long = jnp.where(blk, 0.0, coeffs)
+        c_short = jnp.where(blk, coeffs, 0.0)
+        zd = (jnp.matmul(c_long, jnp.asarray(w_long), precision=HIGHEST)
+              + jnp.matmul(c_short, jnp.asarray(w_short), precision=HIGHEST))
+        return zd[..., :256], zd[..., 256:]
+
+    def ola(z, delay, bias):
+        dfold = jnp.concatenate([delay, delay[..., ::-1]], axis=-1)
+        return z * jnp.asarray(win) + dfold * jnp.asarray(win_r) + bias
+
+    def chain(d, d0):
+        # delay seen by block b is block b-1's output delay; b=0 sees carry
+        return jnp.concatenate([d0[None], d[:-1]], axis=0)
+
+    delay, downmixed = carry
+    freq = blocks["freq"]                                # [n, 6, 256]
+    if fmt.acmod == T.A52_STEREO:
+        s0, s1 = freq[:, 0], freq[:, 1]
+        m = blocks["remat"]
+        freq = freq.at[:, 0].set(jnp.where(m, s0 + s1, s0))
+        freq = freq.at[:, 1].set(jnp.where(m, s0 - s1, s1))
+    blksw = blocks["blksw"]
+    bias = blocks["bias"][:, None, None]                 # [n,1,1]
+    fbw = freq[:, :5]
+    outs = []
+    new_delay = delay
+
+    if fmt.lfe_out:
+        z_l, d_l = split_fb(freq[:, 5], jnp.zeros(freq.shape[0], bool))
+        lfe = ola(z_l, chain(d_l, delay[5]), bias[:, 0])
+        new_delay = new_delay.at[5].set(d_l[-1])
+        outs.append(lfe[:, None])
+
+    if reduces:
+        zero = jnp.zeros((), freq.dtype)
+        f_freq = jax.vmap(lambda p: downmix(p, fmt.acmod, fmt.output, zero,
+                                            slev_zero=fmt.slev_zero))(fbw)
+        f_freq = f_freq[:, : fmt.nf_out]
+        blk0 = jnp.broadcast_to(blksw[:, :1], (blksw.shape[0], fmt.nf_out))
+        z_f, d_f = split_fb(f_freq, blk0)
+        # entry fixup: a carry from a time-path block holds per-channel
+        # delays; downmix them once (the scan's first-step behaviour)
+        d0 = jnp.where(downmixed, delay[:5],
+                       downmix(delay[:5], fmt.acmod, fmt.output, zero,
+                               slev_zero=fmt.slev_zero))
+        out = ola(z_f, chain(d_f, d0[: fmt.nf_out]), bias)
+        new_delay = new_delay.at[: fmt.nf_out].set(d_f[-1])
+        # planes nf_out..4 stay stale, exactly like the scan's d_f_full
+        new_delay = new_delay.at[fmt.nf_out: 5].set(d0[fmt.nf_out:])
+        carry = (new_delay, jnp.ones((), bool))
+    else:
+        z_t, d_t = split_fb(fbw, blksw)
+        d0 = jnp.where(downmixed, upmix(delay[:5], fmt.acmod, fmt.output),
+                       delay[:5])
+        bias_mask = jnp.asarray([(fmt.chanbias >> i) & 1
+                                 for i in range(5)], bool)
+        bias_vec = jnp.where(bias_mask[None, :, None], 0.0, bias)
+        t_out = ola(z_t, chain(d_t, d0), bias_vec)
+        out = jax.vmap(lambda p, bb: downmix(p, fmt.acmod, fmt.output, bb,
+                                             slev_zero=fmt.slev_zero))(
+            t_out, blocks["bias"])[:, : fmt.nf_out]
+        new_delay = new_delay.at[:5].set(d_t[-1])
+        carry = (new_delay, jnp.zeros((), bool))
+    pcm = jnp.concatenate(outs + [out], axis=1) if outs else out
+    return carry, pcm
+
+
+def steady_ok(fmt: StreamFormat, blocks) -> bool:
+    """Host-side eligibility check for _pipeline_steady (numpy blocks,
+    arbitrary leading batch axes)."""
+    blksw = np.asarray(blocks["blksw"])
+    nf = fmt.nfchans
+    if fmt.nf_out < fmt.nfchans:
+        return bool((blksw[..., :nf] == blksw[..., :1]).all())
+    return bool((np.asarray(blocks["coeff"])[..., :nf] != 0.0).all())
+
+
+@lru_cache(maxsize=64)
+def steady_pipeline(fmt: StreamFormat):
+    """jitted scan-free chunk pipeline (see _pipeline_steady)."""
+    return jax.jit(partial(_pipeline_steady, fmt))
+
+
 @lru_cache(maxsize=64)
 def block_pipeline(fmt: StreamFormat):
     """jitted (carry, blocks) -> (carry, pcm [nblk, nch_out, 256]).
@@ -243,9 +347,8 @@ def _stack_blocks(frames) -> dict:
     blocks = [b for f in frames for b in f.blocks]
     bias = np.float32(frames[0].bias)
     return {
-        "q": np.stack([b.q for b in blocks]),
-        "a": np.stack([b.a for b in blocks]),
-        "b": np.stack([b.b for b in blocks]),
+        # host-side dequant: identical IEEE f32 multiplies to the device
+        "freq": np.stack([(b.q * b.a) * b.b for b in blocks]),
         "blksw": np.stack([b.blksw for b in blocks]),
         "coeff": np.stack([b.coeff for b in blocks]),
         "remat": np.stack([b.remat_mask for b in blocks]),

@@ -21,20 +21,27 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import tables as T
-from ..models.decoder import StreamFormat, _pipeline_body
+from ..models.decoder import (StreamFormat, _pipeline_body, _pipeline_steady,
+                              steady_ok)
 from ..ops.filterbank import convert_to_int16
 from .mesh import make_mesh
 
 
-def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False):
+def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
+                     steady: bool = False):
     """Returns jitted fn: (carry, blocks) -> (carry, pcm).
 
     carry: (delay [B,6,128] f32, downmixed [B] bool)
     blocks: pytree with leading [B, nblk, ...] axes.
     pcm: [B, nblk, nch_out, 256] float32 (or int16 when emit_int16).
+
+    steady=True selects the scan-free fast body (bit-identical on chunks
+    that pass models.decoder.steady_ok -- dispatch per call on the host).
     """
+    body = _pipeline_steady if steady else _pipeline_body
+
     def run(carry, blocks):
-        carry, pcm = jax.vmap(partial(_pipeline_body, fmt))(carry, blocks)
+        carry, pcm = jax.vmap(partial(body, fmt))(carry, blocks)
         if emit_int16:
             pcm = convert_to_int16(pcm)
         return carry, pcm
@@ -198,7 +205,10 @@ class BatchedDecoder:
         if fmt != self._fmt:
             self._fmt = fmt
             self._fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
-        self._carry, pcm = self._fn(self._carry, blocks)
+            self._fn_steady = batched_pipeline(fmt, self.mesh,
+                                               self.emit_int16, steady=True)
+        fn = self._fn_steady if steady_ok(fmt, blocks) else self._fn
+        self._carry, pcm = fn(self._carry, blocks)
         return pcm, valid
 
     def parser_decode(self, lane: StreamLane, frame: bytes):

@@ -3,7 +3,7 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config 2 of BASELINE.json: N concurrent 5.1 streams, DRC on, downmixed to
-2.0, int16 output.  One jit call decodes a 16-frame chunk for all N
+2.0, int16 output.  One jit call decodes a multi-frame chunk for all N
 streams; timing uses a device-side checksum fetched to the host as the
 barrier (plain block_until_ready is unreliable through the axon tunnel),
 best of 5 steady-state calls, warmed up with the identical sequence.
@@ -47,8 +47,8 @@ def main():
     from ac3acm_tpu.models.decoder import StreamFormat
     from ac3acm_tpu.parallel.pipeline import batched_pipeline, init_batched_carry
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    nframes = int(os.environ.get("BENCH_FRAMES", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    nframes = int(os.environ.get("BENCH_FRAMES", "32"))
     nblk = nframes * 6
 
     blocks1, meta = load_blocks(nframes)
@@ -59,7 +59,11 @@ def main():
         lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape).copy()),
         blocks1)
 
-    fn = batched_pipeline(fmt, emit_int16=True)
+    from ac3acm_tpu.models.decoder import steady_ok
+    # scan-free fast body when the chunk qualifies (bit-identical; the
+    # golden stream is all long blocks, so it does)
+    fn = batched_pipeline(fmt, emit_int16=True,
+                          steady=steady_ok(fmt, blocks1))
     carry = init_batched_carry(batch)
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 

@@ -33,7 +33,7 @@ def test_native_matches_python(seed, acmod, lfeon, kw):
     frames = [pp.decode_frame(es[i * fs:(i + 1) * fs], flags, 1.0, 0.0)
               for i in range(4)]
     blocks_p = _stack_blocks(frames)
-    for k in ("q", "a", "b", "coeff", "bias"):
+    for k in ("freq", "coeff", "bias"):
         np.testing.assert_array_equal(blocks_n[k], blocks_p[k], err_msg=k)
     for k in ("blksw", "remat"):
         np.testing.assert_array_equal(blocks_n[k], blocks_p[k], err_msg=k)
@@ -49,7 +49,7 @@ def test_native_golden_stream():
     res = NativeParser().decode_frames(es, 8, flags, 1.0, 384.0)
     assert res is not None
     blocks_n, meta = res
-    assert blocks_n["q"].shape == (48, 6, 256)
+    assert blocks_n["freq"].shape == (48, 6, 256)
     pp = A52Parser()
     frames = []
     pos = 0
@@ -62,5 +62,5 @@ def test_native_golden_stream():
         frames.append(pp.decode_frame(es[pos:pos + size], flags, 1.0, 384.0))
         pos += size
     blocks_p = _stack_blocks(frames)
-    for k in ("q", "a", "b", "coeff", "bias"):
+    for k in ("freq", "coeff", "bias"):
         np.testing.assert_array_equal(blocks_n[k], blocks_p[k], err_msg=k)

@@ -1,5 +1,6 @@
 """Hoisted-matmul pipeline == per-block scan of _block_step, exactly."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from functools import partial
@@ -10,10 +11,11 @@ from ac3acm_tpu.models.decoder import (StreamFormat, _block_step,
 
 
 def _rand_blocks(rng, n):
+    q = rng.standard_normal((n, 6, 256)).astype(np.float32) * 3000
+    a = (2.0 ** -rng.integers(15, 30, (n, 6, 256))).astype(np.float32)
+    b = rng.uniform(0.2, 2.0, (n, 6, 256)).astype(np.float32)
     return {
-        "q": rng.standard_normal((n, 6, 256)).astype(np.float32) * 3000,
-        "a": (2.0 ** -rng.integers(15, 30, (n, 6, 256))).astype(np.float32),
-        "b": rng.uniform(0.2, 2.0, (n, 6, 256)).astype(np.float32),
+        "freq": (q * a) * b,
         "blksw": rng.integers(0, 2, (n, 5)).astype(bool),
         "coeff": rng.uniform(0.5, 2.0, (n, 5)).astype(np.float32),
         "remat": rng.integers(0, 2, (n, 256)).astype(bool),
@@ -52,3 +54,38 @@ def test_hoisted_pipeline_equivalence(fmt):
     q1, q2 = np.asarray(q1), np.asarray(q2)
     tol2 = 4e-6 * max(np.abs(q1).max(), 1.0)
     np.testing.assert_allclose(q1, q2, rtol=0, atol=tol2)
+
+
+@pytest.mark.parametrize("fmt", [
+    StreamFormat(acmod=T.A52_3F2R, output=T.A52_STEREO, slev_zero=False,
+                 chanbias=31),
+    StreamFormat(acmod=T.A52_3F2R, output=T.A52_3F2R | T.A52_LFE,
+                 slev_zero=False, chanbias=0),
+    StreamFormat(acmod=T.A52_STEREO, output=T.A52_STEREO, slev_zero=True,
+                 chanbias=0),
+    StreamFormat(acmod=T.A52_3F2R, output=T.A52_MONO, slev_zero=False,
+                 chanbias=31),
+], ids=lambda f: f"acmod{f.acmod}-out{f.output}")
+def test_steady_matches_scan(fmt):
+    """The scan-free steady pipeline equals the scan pipeline bit-for-bit
+    on eligible chunks (uniform blksw / nonzero coeffs)."""
+    from ac3acm_tpu.models.decoder import (_pipeline_body, _pipeline_steady,
+                                           init_carry, steady_ok)
+    rng = np.random.default_rng(9)
+    n = 12
+    blocks = _rand_blocks(rng, n)
+    # eligibility: uniform blksw per block (vary across blocks), coeffs != 0
+    blocks["blksw"] = np.repeat(
+        rng.integers(0, 2, (n, 1)).astype(bool), 5, axis=1)
+    assert steady_ok(fmt, blocks)
+    for dmx0 in (True, False):
+        carry = (np.asarray(init_carry()[0])
+                 + rng.standard_normal((6, 128)).astype(np.float32),
+                 np.asarray(dmx0))
+        c1, p1 = _pipeline_body(fmt, jax.tree.map(jnp.asarray, carry),
+                                jax.tree.map(jnp.asarray, blocks))
+        c2, p2 = _pipeline_steady(fmt, jax.tree.map(jnp.asarray, carry),
+                                  jax.tree.map(jnp.asarray, blocks))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
+        assert bool(c1[1]) == bool(c2[1])

@@ -29,9 +29,8 @@ def test_checkpoint_resume(tmp_path):
     fmt = StreamFormat(acmod=T.A52_3F2R, output=T.A52_STEREO,
                        slev_zero=False, chanbias=31)
     blocks = {
-        "q": rng.standard_normal((6, 6, 256)).astype(np.float32) * 100,
-        "a": np.full((6, 6, 256), 2.0 ** -15, np.float32),
-        "b": np.ones((6, 6, 256), np.float32),
+        "freq": (rng.standard_normal((6, 6, 256)).astype(np.float32) * 100
+                 * np.float32(2.0 ** -15)),
         "blksw": np.zeros((6, 5), bool),
         "coeff": np.ones((6, 5), np.float32),
         "remat": np.zeros((6, 256), bool),
