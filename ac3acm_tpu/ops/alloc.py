@@ -39,13 +39,33 @@ def _band_layout():
     return idx, valid
 
 
+@lru_cache(maxsize=1)
+def _latab_thresholds():
+    """LATAB is monotone nonincreasing, so latab[adr] = #\\{t : adr < thr_t\\}
+    with thr_t = first index where latab < t.  Turns the per-element gather
+    (pathological on TPU) into ~64 vectorized compares."""
+    lat = np.asarray(T.LATAB[:256]).astype(np.int64)
+    assert (np.diff(lat) <= 0).all()
+    thr = np.array([int(np.searchsorted(-lat, -t + 1))
+                    for t in range(1, int(lat[0]) + 1)], np.int32)
+    # sanity: reconstruct exactly
+    adr = np.arange(256)
+    rec = (adr[:, None] < thr[None, :]).sum(1)
+    assert (rec == lat).all()
+    return thr
+
+
+def _latab_lookup(adr):
+    thr = jnp.asarray(_latab_thresholds())
+    return jnp.sum((adr[..., None] < thr).astype(jnp.int32), axis=-1)
+
+
 def band_psd(psd, end):
     """psd [..., 256] int32 -> bndpsd [..., 50] int32 (log-add fold).
 
     `end` [...]: first excluded bin (bins >= end ignored).
     """
     idx, valid = _band_layout()
-    lat = jnp.asarray(T.LATAB.astype(np.int32))
     p = psd[..., idx]                                   # [..., 50, 24]
     ok = valid & (idx < end[..., None, None])
     v = p[..., 0]
@@ -53,7 +73,7 @@ def band_psd(psd, end):
         nxt = p[..., k]
         c = v - nxt
         adr = jnp.minimum(jnp.abs(c) >> 1, 255)
-        la = lat[adr]
+        la = _latab_lookup(adr)
         fold = jnp.where(c >= 0, v + la, nxt + la)
         v = jnp.where(ok[..., k], fold, v)
     return v
@@ -163,7 +183,10 @@ def bap_from_mask(psd, mask, snroffset, floor, start, end):
     pad = jnp.zeros(vbin.shape[:-1] + (3,), vbin.dtype)
     vbin = jnp.concatenate([vbin, pad], axis=-1)
     address = jnp.clip((psd - vbin) >> 5, 0, 63)
-    bap = jnp.asarray(T.BAPTAB)[address]
+    # BAPTAB is monotone nondecreasing: class = #{k : address >= lo_k}
+    # (compare-accumulate instead of a per-element gather)
+    lo = jnp.asarray(_class_bounds()[1:].astype(np.int32))
+    bap = jnp.sum((address[..., None] >= lo).astype(jnp.int8), axis=-1)
     bins = jax.lax.broadcasted_iota(jnp.int32, (256,), 0)
     live = (bins >= start[..., None]) & (bins < end[..., None])
     return jnp.where(live, bap, 0).astype(jnp.int8)
