@@ -183,6 +183,30 @@ def _leading_true(fits):
 def encode_pipeline(cfg: EncoderConfig):
     """jitted: (samples [B,1536,nch] i32, last [B,nch,256] i32,
     csnroffst [B] i32) -> dict of frame fields + new carry."""
+    return jax.jit(_frame_body(cfg))
+
+
+@lru_cache(maxsize=16)
+def encode_pipeline_multi(cfg: EncoderConfig):
+    """jitted multi-frame step: (samples [F,B,1536,nch], last, csnr) ->
+    ((last', csnr'), outs with leading [F] axis).
+
+    A lax.scan over frames carrying (last_samples, csnroffst) -- identical
+    sequential semantics to F single-frame calls, amortizing the fixed
+    per-dispatch cost."""
+    run = _frame_body(cfg)
+
+    def multi(samples, last, csnr):
+        def step(carry, pcm):
+            res = run(pcm, *carry)
+            return (res["new_last"], res["new_csnr"]), res
+        return jax.lax.scan(step, (last, csnr), samples)
+
+    return jax.jit(multi)
+
+
+def _frame_body(cfg: EncoderConfig):
+    """(samples, last, csnr) -> frame-fields dict (untraced body)."""
     nch = cfg.channels
     nf = cfg.nfchans
     nb = cfg.nb_coefs
@@ -360,7 +384,7 @@ def encode_pipeline(cfg: EncoderConfig):
                     csnroffst=cstar, fsnroffst=fstar, ok=ok,
                     new_last=new_last, new_csnr=cstar)
 
-    return jax.jit(run)
+    return run
 
 
 # ---------------------------------------------------------------------------

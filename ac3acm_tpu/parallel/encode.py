@@ -16,7 +16,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import tables as T
 from ..host import pack as PK
-from ..models.encoder import EncoderConfig, encode_pipeline, make_config
+from ..models.encoder import (EncoderConfig, encode_pipeline,
+                              encode_pipeline_multi, make_config)
 
 
 class BatchedEncoder:
@@ -47,3 +48,27 @@ class BatchedEncoder:
         self.csnr = jnp.asarray(res["new_csnr"])
         return list(self._pool.map(
             lambda b: PK.pack_frame(self.cfg, res, b), range(self.batch)))
+
+    def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
+        """Multi-frame step: pcm int16 [batch, F*1536, nch] -> concatenated
+        AC-3 bytes per stream.  One device dispatch for all F frames
+        (lax.scan carries last_samples/csnroffst; bit-identical to F
+        encode_step calls, ~2x the aggregate throughput)."""
+        B, n, nch = pcm.shape
+        F = n // 1536
+        frames = np.asarray(pcm, np.int32).reshape(B, F, 1536, nch)
+        frames = np.moveaxis(frames, 1, 0)               # [F, B, 1536, nch]
+        fn = encode_pipeline_multi(self.cfg)
+        (last, csnr), outs = fn(jnp.asarray(frames), self.last, self.csnr)
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        if not outs["ok"].all():
+            bad = np.argwhere(~outs["ok"])
+            raise RuntimeError(f"rate control failed at (frame,stream) "
+                               f"{bad[:8].tolist()}")
+        self.last, self.csnr = last, csnr
+
+        def pack_stream(b):
+            return b"".join(
+                PK.pack_frame(self.cfg, {k: v[f] for k, v in outs.items()}, b)
+                for f in range(F))
+        return list(self._pool.map(pack_stream, range(self.batch)))

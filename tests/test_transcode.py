@@ -63,3 +63,17 @@ def test_batched_encoder_matches_reference():
     ref = get_ref()
     for b in range(batch):
         assert out[b] == ref.encode(pcms[b], 48000, 192)
+
+
+def test_batched_encoder_multiframe():
+    """encode_frames (multi-frame scan) is byte-identical to the reference
+    and to per-frame encode_step."""
+    from ac3acm_tpu.parallel.encode import BatchedEncoder
+    from tests.test_decode import make_pcm
+    batch, F = 2, 3
+    pcms = [make_pcm(2, F, seed=300 + i) for i in range(batch)]
+    enc = BatchedEncoder(batch, 48000, 192000, 2)
+    out = enc.encode_frames(np.stack([p[: F * 1536] for p in pcms]))
+    ref = get_ref()
+    for b in range(batch):
+        assert out[b] == ref.encode(pcms[b][: F * 1536], 48000, 192)
