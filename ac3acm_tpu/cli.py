@@ -89,7 +89,6 @@ def cmd_decode(args):
             if pos + size > len(es):
                 break
             out = dec.decode_stream(es[pos:pos + size], flags, level, bias)
-            outf = (fl if (flags & T.A52_CHANNEL_MASK) > 7 or True else fl)
             for blk in out:
                 sink.play(_native_outmode(fl, flags), blk)
             meter.tick(1)

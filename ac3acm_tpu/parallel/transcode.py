@@ -25,17 +25,10 @@ from ..models.encoder import EncoderConfig, encode_pipeline
 from ..ops.filterbank import convert_to_int16
 
 
-@lru_cache(maxsize=8)
-def transcode_pipeline(dec_fmt: StreamFormat, enc_cfg: EncoderConfig,
-                       mesh=None):
-    """jitted: (dec_carry, blocks, enc_last, enc_csnr) ->
-    (dec_carry', enc_last', enc_csnr', enc_fields, pcm_i16)
+def _make_run(dec_fmt: StreamFormat, enc_cfg: EncoderConfig):
+    from ..models.encoder import _frame_body
 
-    blocks: decoder block tensors [B, 6, ...] (one frame per stream).
-    The decoded PCM (bias must be 384 in the parse) becomes the encoder's
-    input frame.  Decoder output channel count must equal enc_cfg.channels.
-    """
-    enc_fn = encode_pipeline(enc_cfg)      # jit-of-jit inlines cleanly
+    enc_fn = _frame_body(enc_cfg)
 
     def one_stream(carry, blocks):
         return _pipeline_body(dec_fmt, carry, blocks)
@@ -54,11 +47,42 @@ def transcode_pipeline(dec_fmt: StreamFormat, enc_cfg: EncoderConfig,
         enc = enc_fn(samples, enc_last, enc_csnr)
         return dec_carry, enc, i16
 
+    return run
+
+
+@lru_cache(maxsize=8)
+def transcode_pipeline(dec_fmt: StreamFormat, enc_cfg: EncoderConfig,
+                       mesh=None):
+    """jitted: (dec_carry, blocks, enc_last, enc_csnr) ->
+    (dec_carry', enc_fields, pcm_i16)
+
+    blocks: decoder block tensors [B, 6, ...] (one frame per stream).
+    The decoded PCM (bias must be 384 in the parse) becomes the encoder's
+    input frame.  Decoder output channel count must equal enc_cfg.channels.
+    """
+    run = _make_run(dec_fmt, enc_cfg)
     if mesh is None:
         return jax.jit(run)
     shard = NamedSharding(mesh, P("data"))
     return jax.jit(run, in_shardings=(shard, shard, shard, shard),
                    out_shardings=(shard, shard, shard))
+
+
+@lru_cache(maxsize=8)
+def transcode_pipeline_multi(dec_fmt: StreamFormat, enc_cfg: EncoderConfig):
+    """jitted multi-frame transcode: scans the fused decode->re-encode step
+    over F frames carrying both codecs' state -- one device dispatch for
+    the whole chunk, identical sequential semantics."""
+    run = _make_run(dec_fmt, enc_cfg)
+
+    def multi(dec_carry, blocks, enc_last, enc_csnr):
+        def step(carry, blk):
+            dc, last, csnr = carry
+            dc, enc, _ = run(dc, blk, last, csnr)
+            return (dc, enc["new_last"], enc["new_csnr"]), enc
+        return jax.lax.scan(step, (dec_carry, enc_last, enc_csnr), blocks)
+
+    return jax.jit(multi)
 
 
 class Transcoder:
@@ -106,3 +130,36 @@ class Transcoder:
         self.enc_last = enc["new_last"]
         self.enc_csnr = enc["new_csnr"]
         return [PK.pack_frame(self.enc_cfg, enc, b) for b in range(self.batch)]
+
+    def step_frames(self, data: list[bytes], nframes: int) -> list[bytes]:
+        """Multi-frame step: data[b] holds exactly `nframes` AC-3 frames.
+        One device dispatch transcodes the whole chunk (scan over frames
+        carrying both codecs' state); returns re-encoded bytes per stream.
+        """
+        from ..host import pack as PK
+        assert len(data) == self.batch
+        want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
+                4: T.A52_2F2R, 5: T.A52_3F2R,
+                6: T.A52_3F2R | T.A52_LFE}[self.out_channels]
+        flags = want | T.A52_ADJUST_LEVEL
+        allb = [p.decode_frames(fb, nframes, flags, 1.0, 384.0)
+                for p, fb in zip(self.parsers, data)]
+        meta = allb[0][1]
+        fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
+                           slev_zero=meta["slev"] == 0.0,
+                           chanbias=meta["chanbias"])
+        # [B] of dicts with [F*6, ...] -> [F, B, 6, ...]
+        def to_fb(x):
+            x = np.stack(x)                               # [B, F*6, ...]
+            x = x.reshape((x.shape[0], nframes, 6) + x.shape[2:])
+            return jnp.asarray(np.moveaxis(x, 1, 0))
+        blocks = jax.tree.map(lambda *xs: to_fb(xs),
+                              *[b for b, _ in allb])
+        fn = transcode_pipeline_multi(fmt, self.enc_cfg)
+        (self.dec_carry, last, csnr), enc = fn(
+            self.dec_carry, blocks, self.enc_last, self.enc_csnr)
+        self.enc_last, self.enc_csnr = last, csnr
+        enc = {k: np.asarray(v) for k, v in enc.items()}
+        return [b"".join(
+            PK.pack_frame(self.enc_cfg, {k: v[f] for k, v in enc.items()}, b)
+            for f in range(nframes)) for b in range(self.batch)]

@@ -77,3 +77,19 @@ def test_batched_encoder_multiframe():
     ref = get_ref()
     for b in range(batch):
         assert out[b] == ref.encode(pcms[b][: F * 1536], 48000, 192)
+
+
+def test_transcoder_step_frames_matches_step():
+    """Multi-frame transcode (one dispatch) equals per-frame step()."""
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)[:4]
+    batch = 2
+    a = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    ref = [b""] * batch
+    for f in frames:
+        outs = a.step([f] * batch)
+        for b in range(batch):
+            ref[b] += outs[b]
+    b2 = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    outs = b2.step_frames([b"".join(frames)] * batch, len(frames))
+    assert outs == ref
