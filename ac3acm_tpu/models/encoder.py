@@ -25,7 +25,7 @@ reentrant and batchable.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ import numpy as np
 from .. import tables as T
 from ..host import pack as PK
 from ..ops import alloc as AL
-from ..ops.mdct import (av_log2, extract_exponents, mdct512,
+from ..ops.mdct import (extract_exponents, mdct512,
                         window_norm_block)
 
 EXP_NEW = 1

@@ -14,9 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .. import tables as T
 from ..host import pack as PK
-from ..models.encoder import (EncoderConfig, encode_pipeline,
+from ..models.encoder import (encode_pipeline,
                               encode_pipeline_multi, make_config)
 
 

@@ -24,7 +24,7 @@ from .. import tables as T
 from ..models.decoder import (StreamFormat, _pipeline_body, _pipeline_steady,
                               steady_ok)
 from ..ops.filterbank import convert_to_int16
-from .mesh import make_mesh
+
 
 
 def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,

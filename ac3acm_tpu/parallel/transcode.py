@@ -11,8 +11,8 @@ Sharded over the mesh 'data' axis like the decode pipeline; carries are
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import lru_cache, partial
+
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import tables as T
 from ..models.decoder import StreamFormat, _pipeline_body
-from ..models.encoder import EncoderConfig, encode_pipeline
+from ..models.encoder import EncoderConfig
 from ..ops.filterbank import convert_to_int16
 
 

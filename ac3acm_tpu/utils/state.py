@@ -7,7 +7,6 @@ so save/restore is one .npz (or hand to orbax for sharded checkpoints).
 """
 from __future__ import annotations
 
-import io
 
 import numpy as np
 
