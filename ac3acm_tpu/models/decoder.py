@@ -223,7 +223,8 @@ def _pipeline_body(fmt: StreamFormat, carry, blocks):
     return jax.lax.scan(step, carry, per)
 
 
-def _pipeline_steady(fmt: StreamFormat, carry, blocks):
+def _pipeline_steady(fmt: StreamFormat, carry, blocks,
+                     long_only: bool = False):
     """Scan-free fast path: when every block takes the same strategy, the
     OLA delay chain is a pure one-block shift (delay[b+1] = d[b]), so the
     whole chunk is elementwise after the hoisted matmuls.
@@ -235,6 +236,11 @@ def _pipeline_steady(fmt: StreamFormat, carry, blocks):
         the IMDCT there and KEEPS the old delay, a real recurrence).
     The entry-state fixups (upmix/downmix of the carried delay) are applied
     once, exactly as the scan's first step would.
+
+    long_only=True (requires no short block anywhere in the chunk --
+    host-checked) skips the all-zero short-matrix matmul, halving the
+    dominant MXU cost.  Identical values: zeros @ w_short contributes
+    exact zeros.
     """
     from ..ops.filterbank import _mats, HIGHEST
 
@@ -243,6 +249,9 @@ def _pipeline_steady(fmt: StreamFormat, carry, blocks):
     reduces = fmt.nf_out < fmt.nfchans
 
     def split_fb(coeffs, blksw):
+        if long_only:
+            zd = jnp.matmul(coeffs, jnp.asarray(w_long), precision=HIGHEST)
+            return zd[..., :256], zd[..., 256:]
         blk = blksw[..., None]
         c_long = jnp.where(blk, 0.0, coeffs)
         c_short = jnp.where(blk, coeffs, 0.0)
@@ -322,9 +331,9 @@ def steady_ok(fmt: StreamFormat, blocks) -> bool:
 
 
 @lru_cache(maxsize=64)
-def steady_pipeline(fmt: StreamFormat):
+def steady_pipeline(fmt: StreamFormat, long_only: bool = False):
     """jitted scan-free chunk pipeline (see _pipeline_steady)."""
-    return jax.jit(partial(_pipeline_steady, fmt))
+    return jax.jit(partial(_pipeline_steady, fmt, long_only=long_only))
 
 
 @lru_cache(maxsize=64)

@@ -27,8 +27,12 @@ from ..ops.filterbank import convert_to_int16
 
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
-                     steady: bool = False):
+                     steady: bool = False, long_only: bool = False):
     """Returns jitted fn: (carry, blocks) -> (carry, pcm).
 
     carry: (delay [B,6,128] f32, downmixed [B] bool)
@@ -36,9 +40,14 @@ def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
     pcm: [B, nblk, nch_out, 256] float32 (or int16 when emit_int16).
 
     steady=True selects the scan-free fast body (bit-identical on chunks
-    that pass models.decoder.steady_ok -- dispatch per call on the host).
+    that pass models.decoder.steady_ok -- dispatch per call on the host);
+    long_only=True additionally skips the short-block matmul (valid when
+    no block in the chunk is short -- also host-checked).
     """
-    body = _pipeline_steady if steady else _pipeline_body
+    if steady:
+        body = partial(_pipeline_steady, long_only=long_only)
+    else:
+        body = _pipeline_body
 
     def run(carry, blocks):
         carry, pcm = jax.vmap(partial(body, fmt))(carry, blocks)
@@ -202,12 +211,13 @@ class BatchedDecoder:
                            slev_zero=bool(s.slev == 0.0),
                            chanbias=int(downmix_coeff(
                                s.acmod, s.output, 1.0, s.clev, s.slev)[1]))
-        if fmt != self._fmt:
-            self._fmt = fmt
-            self._fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
-            self._fn_steady = batched_pipeline(fmt, self.mesh,
-                                               self.emit_int16, steady=True)
-        fn = self._fn_steady if steady_ok(fmt, blocks) else self._fn
+        if steady_ok(fmt, blocks):
+            lo = not np.asarray(blocks["blksw"]).any()
+            fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
+                                  steady=True, long_only=lo)
+        else:
+            fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
+        self._fmt = fmt
         self._carry, pcm = fn(self._carry, blocks)
         return pcm, valid
 

@@ -61,9 +61,12 @@ def main():
 
     from ac3acm_tpu.models.decoder import steady_ok
     # scan-free fast body when the chunk qualifies (bit-identical; the
-    # golden stream is all long blocks, so it does)
-    fn = batched_pipeline(fmt, emit_int16=True,
-                          steady=steady_ok(fmt, blocks1))
+    # golden stream is all long blocks, so the short-matrix matmul is
+    # skipped too)
+    steady = steady_ok(fmt, blocks1)
+    long_only = steady and not np.asarray(blocks1["blksw"]).any()
+    fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
+                          long_only=long_only)
     carry = init_batched_carry(batch)
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 

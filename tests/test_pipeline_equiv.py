@@ -89,3 +89,21 @@ def test_steady_matches_scan(fmt):
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
         np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
         assert bool(c1[1]) == bool(c2[1])
+
+
+def test_steady_long_only_matches():
+    """The long-only steady specialization equals the dual-matmul steady
+    body on all-long chunks."""
+    from ac3acm_tpu.models.decoder import _pipeline_steady, init_carry
+    fmt = StreamFormat(acmod=T.A52_3F2R, output=T.A52_STEREO,
+                       slev_zero=False, chanbias=31)
+    rng = np.random.default_rng(21)
+    blocks = _rand_blocks(rng, 10)
+    blocks["blksw"] = np.zeros((10, 5), bool)          # all long
+    carry = jax.tree.map(jnp.asarray, (np.asarray(init_carry()[0]),
+                                       np.asarray(True)))
+    bj = jax.tree.map(jnp.asarray, blocks)
+    c1, p1 = _pipeline_steady(fmt, carry, bj)
+    c2, p2 = _pipeline_steady(fmt, carry, bj, long_only=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
