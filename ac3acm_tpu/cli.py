@@ -253,7 +253,12 @@ def main(argv=None):
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (ValueError, AssertionError, FileNotFoundError) as e:
+        # argument/input problems get one clean line, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

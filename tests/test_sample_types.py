@@ -85,3 +85,17 @@ def test_fixed_s16_convert():
     f16 = np.clip(((fl.astype(np.float64) - 384.0) * 32768.0).round(),
                   -32768, 32767).astype(np.int16)
     assert np.abs(s16.astype(np.int32) - f16.astype(np.int32)).max() <= 1
+
+
+@pytest.mark.parametrize("kind", ["fixed", "double"])
+def test_sample_type_halfrate(kind):
+    """Half-rate (bsid 9/10) streams through the sample-type backends."""
+    from tests.streamgen import gen_stream
+    es = gen_stream(31, 2, False, nframes=2, halfratecod=1)
+    ref = get_ref_variant(kind)
+    _, rb = ref.decode_stream(es, T.A52_STEREO)
+    mine = SampleDecoder(kind).decode_stream(
+        es, T.A52_STEREO | T.A52_ADJUST_LEVEL)
+    m = mine.reshape(mine.shape[0], -1)
+    assert rb.shape == m.shape
+    np.testing.assert_array_equal(rb, m)
