@@ -382,12 +382,10 @@ class Decoder:
         return P.syncinfo(buf)
 
     def dynrng(self, callback=None):
-        """a52_dynrng parity: None disables DRC; a callable remaps it."""
-        self.parser.s.dynrnge = callback is not None or callback is None and False
-        if callback is False:
-            self.parser.s.dynrnge = False
+        """a52_dynrng parity (parse.c:207-216): None disables DRC; a
+        callable re-enables it with fn(range) -> range remapping."""
+        self.parser.s.dynrnge = callable(callback)
         if callable(callback):
-            self.parser.s.dynrnge = True
             self.parser.s.dynrng_call = callback
 
     def set_drc_enabled(self, enabled: bool):
