@@ -20,6 +20,7 @@ import numpy as np
 
 from . import tables as T
 from .io import demux
+from .host import pack as PK
 from .io.sinks import make_sink
 from .utils.config import CodecConfig
 from .utils.meter import FpsMeter
@@ -186,11 +187,21 @@ def cmd_info(args):
     es = demux.extract_es(data, args.container, args.track, args.pid)
     n = 0
     first = None
+    bad_crc = 0
     for frame, srate, brate in demux.es_frames(es):
         if first is None:
             _, flags, _, _ = __import__(
                 "ac3acm_tpu.host.parse", fromlist=["syncinfo"]).syncinfo(frame[:7])
             first = (srate, brate, flags)
+        if args.check_crc:
+            # crc1 covers bytes 2..5/8 of the frame, crc2 the whole frame;
+            # both regions CRC to 0 when intact (the reference generates
+            # these, A/52 §5.4.1/§5.10, but its decoder never verifies)
+            words = len(frame) // 2
+            fs58 = 2 * ((words >> 1) + (words >> 3))
+            if (PK.ac3_crc(frame[2:fs58], 0) != 0
+                    or PK.ac3_crc(frame[2:], 0) != 0):
+                bad_crc += 1
         n += 1
     if first is None:
         print("no AC-3 frames found")
@@ -198,9 +209,13 @@ def cmd_info(args):
     srate, brate, flags = first
     mode = ["1+1", "1/0", "2/0", "3/0", "2/1", "3/1", "2/2", "3/2"][flags & 7]
     lfe = "+LFE" if flags & T.A52_LFE else ""
+    crcmsg = ""
+    if args.check_crc:
+        crcmsg = (f", CRC ok" if bad_crc == 0
+                  else f", {bad_crc} frame(s) with bad CRC")
     print(f"AC-3 {mode}{lfe}, {srate} Hz, {brate // 1000} kbps, {n} frames, "
-          f"{n * 1536 / srate:.2f}s")
-    return 0
+          f"{n * 1536 / srate:.2f}s{crcmsg}")
+    return 1 if bad_crc else 0
 
 
 def main(argv=None):
@@ -250,6 +265,8 @@ def main(argv=None):
     i.add_argument("--container", default="auto", choices=["auto", "es", "ps", "ts"])
     i.add_argument("--track", type=lambda v: int(v, 0), default=0)
     i.add_argument("--pid", type=lambda v: int(v, 0), default=0)
+    i.add_argument("--check-crc", action="store_true",
+                   help="verify crc1/crc2 of every frame")
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
