@@ -162,9 +162,11 @@ def cmd_encode(args):
     fp = _open_out(args.out)
     meter = FpsMeter(rate, enabled=not args.quiet)
     nfr = pcm.shape[0] // T.FRAME_SAMPLES
-    for i in range(nfr):
-        fp.write(enc.encode(pcm[i * 1536:(i + 1) * 1536]))
-        meter.tick(1)
+    step = enc.CHUNK
+    for i in range(0, nfr, step):
+        f = min(step, nfr - i)
+        fp.write(enc.encode(pcm[i * 1536:(i + f) * 1536]))
+        meter.tick(f)
     meter.close()
     if fp is not sys.stdout.buffer:
         fp.close()

@@ -410,18 +410,33 @@ class Encoder:
     def frame_bytes(self) -> int:
         return self.cfg.frame_size * 2
 
+    # frames per device dispatch; multi-frame inputs scan on device
+    # (encode_pipeline_multi) so long encodes aren't per-frame bound
+    CHUNK = 16
+
     def encode(self, pcm: np.ndarray) -> bytes:
         """pcm int16 [nsamples, nch] (interleaved rows); whole frames only."""
         pcm = np.asarray(pcm)
         nfr = pcm.shape[0] // T.FRAME_SAMPLES
         out = bytearray()
-        for i in range(nfr):
-            chunk = pcm[i * 1536:(i + 1) * 1536][:, self.chmap].astype(np.int32)
-            res = self._fn(chunk[None], self.last, self.csnroffst)
-            res = {k: np.asarray(v) for k, v in res.items()}
-            if not res["ok"][0]:
+        i = 0
+        while i < nfr:
+            f = min(self.CHUNK, nfr - i)
+            chunk = pcm[i * 1536:(i + f) * 1536][:, self.chmap].astype(np.int32)
+            if f == 1:
+                res = self._fn(chunk[None], self.last, self.csnroffst)
+                res = {k: np.asarray(v)[None] for k, v in res.items()}
+            else:
+                frames = chunk.reshape(f, 1536, -1)[:, None]   # [F,1,1536,ch]
+                fn = encode_pipeline_multi(self.cfg)
+                _, res = fn(frames, self.last, self.csnroffst)
+                res = {k: np.asarray(v) for k, v in res.items()}
+            if not res["ok"].all():
                 raise RuntimeError("rate control failed (frame too small)")
-            self.last = res["new_last"]
-            self.csnroffst = res["new_csnr"]
-            out += PK.pack_frame(self.cfg, res, 0)
+            self.last = res["new_last"][-1]
+            self.csnroffst = res["new_csnr"][-1]
+            for fi in range(f):
+                out += PK.pack_frame(
+                    self.cfg, {k: v[fi] for k, v in res.items()}, 0)
+            i += f
         return bytes(out)
