@@ -832,7 +832,10 @@ class A52Parser:
         for _ in range(ngrps):
             exps = br.read(7)
             for delta_tab in (T.EXP_1, T.EXP_2, T.EXP_3):
-                exponent += int(delta_tab[exps])
+                # the reference accumulates in a uint8_t (parse.c:218-231):
+                # a negative-going delta wraps to ~255 and trips the >24
+                # range check; replicate the wrap for rejection parity
+                exponent = (exponent + int(delta_tab[exps])) & 0xFF
                 if exponent > 24:
                     raise FrameError("exponent out of range")
                 dest[pos:pos + fan] = exponent

@@ -705,7 +705,9 @@ static int parse_exponents(BitReader& br, int expstr, int ngrps,
         int exps = br.read(7);
         const int8_t* tabs[3] = {g_exp1, g_exp2, g_exp3};
         for (int t = 0; t < 3; t++) {
-            exponent += tabs[t][exps];
+            // uint8_t accumulator in the reference (parse.c:218-231):
+            // negative-going deltas wrap to ~255 and fail the range check
+            exponent = (exponent + tabs[t][exps]) & 0xFF;
             if (exponent > 24) return 1;
             for (int f = 0; f < fan; f++) *dest++ = (uint8_t)exponent;
         }

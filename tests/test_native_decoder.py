@@ -81,3 +81,29 @@ def test_downmix_negotiation_exhaustive():
                 mc, mcb = P.downmix_coeff(acmod, out_ref, lvl2, clev, slev)
                 assert cb == mcb
                 assert all(np.float32(cr[k]) == mc[k] for k in range(5))
+
+
+def test_corruption_rejection_parity():
+    """Malformed frames are accepted/rejected exactly like the reference
+    (byte-corruption fuzz; found the uint8 exponent-accumulator wrap,
+    parse.c:218-231)."""
+    import numpy as np
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import NativeDecoder
+    from tests.refbuild import get_ref
+    import os
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    frame = es[:1792]
+    ref = get_ref()
+    rng = np.random.default_rng(0)
+    for _ in range(150):
+        b = bytearray(frame)
+        for _ in range(rng.integers(1, 5)):
+            b[int(rng.integers(5, len(b)))] ^= int(rng.integers(1, 256))
+        data = bytes(b)
+        _, rb = ref.decode_stream(data, T.A52_STEREO)
+        mine = NativeDecoder().decode_stream(
+            data, T.A52_STEREO | T.A52_ADJUST_LEVEL, 1.0, 0.0)
+        assert (rb.shape[0] == 6) == (mine.shape[0] == 6), data.hex()[:60]
