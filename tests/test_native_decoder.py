@@ -104,6 +104,11 @@ def test_corruption_rejection_parity():
             b[int(rng.integers(5, len(b)))] ^= int(rng.integers(1, 256))
         data = bytes(b)
         _, rb = ref.decode_stream(data, T.A52_STEREO)
+        _, rb2 = ref.decode_stream(data, T.A52_STEREO)
+        if rb.shape[0] != rb2.shape[0]:
+            # corrupt input hit liba52 uninitialized-state UB: its own
+            # accept/reject is heap-dependent -- nothing to match
+            continue
         mine = NativeDecoder().decode_stream(
             data, T.A52_STEREO | T.A52_ADJUST_LEVEL, 1.0, 0.0)
         assert (rb.shape[0] == 6) == (mine.shape[0] == 6), data.hex()[:60]
