@@ -224,7 +224,7 @@ def _pipeline_body(fmt: StreamFormat, carry, blocks):
 
 
 def _pipeline_steady(fmt: StreamFormat, carry, blocks,
-                     long_only: bool = False):
+                     long_only: bool = False, premixed: bool = False):
     """Scan-free fast path: when every block takes the same strategy, the
     OLA delay chain is a pure one-block shift (delay[b+1] = d[b]), so the
     whole chunk is elementwise after the hoisted matmuls.
@@ -268,29 +268,36 @@ def _pipeline_steady(fmt: StreamFormat, carry, blocks,
         return jnp.concatenate([d0[None], d[:-1]], axis=0)
 
     delay, downmixed = carry
-    freq = blocks["freq"]                                # [n, 6, 256]
-    if fmt.acmod == T.A52_STEREO:
+    freq = blocks["freq"]          # [n, 6, 256]; premixed: [n, nfo(+1), 256]
+    if premixed:
+        assert reduces, "premixed blocks require the freq (reduces) path"
+    if fmt.acmod == T.A52_STEREO and not premixed:
         s0, s1 = freq[:, 0], freq[:, 1]
         m = blocks["remat"]
         freq = freq.at[:, 0].set(jnp.where(m, s0 + s1, s0))
         freq = freq.at[:, 1].set(jnp.where(m, s0 - s1, s1))
     blksw = blocks["blksw"]
     bias = blocks["bias"][:, None, None]                 # [n,1,1]
-    fbw = freq[:, :5]
+    fbw = None if premixed else freq[:, :5]
     outs = []
     new_delay = delay
 
     if fmt.lfe_out:
-        z_l, d_l = split_fb(freq[:, 5], jnp.zeros(freq.shape[0], bool))
+        lfe_plane = freq[:, fmt.nf_out] if premixed else freq[:, 5]
+        z_l, d_l = split_fb(lfe_plane, jnp.zeros(freq.shape[0], bool))
         lfe = ola(z_l, chain(d_l, delay[5]), bias[:, 0])
         new_delay = new_delay.at[5].set(d_l[-1])
         outs.append(lfe[:, None])
 
     if reduces:
         zero = jnp.zeros((), freq.dtype)
-        f_freq = jax.vmap(lambda p: downmix(p, fmt.acmod, fmt.output, zero,
-                                            slev_zero=fmt.slev_zero))(fbw)
-        f_freq = f_freq[:, : fmt.nf_out]
+        if premixed:
+            f_freq = freq[:, : fmt.nf_out]
+        else:
+            f_freq = jax.vmap(
+                lambda p: downmix(p, fmt.acmod, fmt.output, zero,
+                                  slev_zero=fmt.slev_zero))(fbw)
+            f_freq = f_freq[:, : fmt.nf_out]
         blk0 = jnp.broadcast_to(blksw[:, :1], (blksw.shape[0], fmt.nf_out))
         z_f, d_f = split_fb(f_freq, blk0)
         # entry fixup: a carry from a time-path block holds per-channel
@@ -320,6 +327,33 @@ def _pipeline_steady(fmt: StreamFormat, carry, blocks,
     return carry, pcm
 
 
+def premix_blocks(fmt: StreamFormat, blocks) -> dict:
+    """Host-side downmix for the steady freq path: applies rematrixing and
+    the mixer sums in numpy (identical IEEE f32 adds to the device) and
+    ships only the nf_out (+LFE) planes -- 2-3x less host->device volume
+    and pipeline input reads.  Only valid together with the steady path
+    (checked by steady_ok); LFE plane, when present, comes last."""
+    assert fmt.nf_out < fmt.nfchans, "premix requires the freq (reduces) path"
+    freq = np.asarray(blocks["freq"])                  # [..., n, 6, 256]
+    if fmt.acmod == T.A52_STEREO:
+        m = np.asarray(blocks["remat"])
+        s0 = freq[..., 0, :]
+        s1 = freq[..., 1, :]
+        freq = freq.copy()
+        freq[..., 0, :] = np.where(m, s0 + s1, s0)
+        freq[..., 1, :] = np.where(m, s0 - s1, s1)
+    planes = np.moveaxis(freq, -2, 0)                  # [6, ..., 256]
+    mixed = downmix(planes[:5], fmt.acmod, fmt.output,
+                    np.float32(0.0), slev_zero=fmt.slev_zero)
+    keep = [np.asarray(mixed[i]) for i in range(fmt.nf_out)]
+    if fmt.lfe_out:
+        keep.append(np.asarray(planes[5]))
+    pre = np.moveaxis(np.stack(keep), 0, -2)           # [..., n, nfo(+1), 256]
+    out = dict(blocks)
+    out["freq"] = np.ascontiguousarray(pre)
+    return out
+
+
 def steady_ok(fmt: StreamFormat, blocks) -> bool:
     """Host-side eligibility check for _pipeline_steady (numpy blocks,
     arbitrary leading batch axes)."""
@@ -331,9 +365,11 @@ def steady_ok(fmt: StreamFormat, blocks) -> bool:
 
 
 @lru_cache(maxsize=64)
-def steady_pipeline(fmt: StreamFormat, long_only: bool = False):
+def steady_pipeline(fmt: StreamFormat, long_only: bool = False,
+                    premixed: bool = False):
     """jitted scan-free chunk pipeline (see _pipeline_steady)."""
-    return jax.jit(partial(_pipeline_steady, fmt, long_only=long_only))
+    return jax.jit(partial(_pipeline_steady, fmt, long_only=long_only,
+                           premixed=premixed))
 
 
 @lru_cache(maxsize=64)

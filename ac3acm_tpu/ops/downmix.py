@@ -20,6 +20,20 @@ from .. import tables as T
 _CM = T.A52_CHANNEL_MASK
 
 
+def _apply(s, idx_vals):
+    """Write planes [(index, value), ...]; works on jnp and numpy arrays
+    (the mixer expressions are plain +/- so the same code premixes on the
+    host with identical IEEE f32 results)."""
+    if hasattr(s, "at"):                     # jax array
+        for i, v in idx_vals:
+            s = s.at[i].set(v)
+        return s
+    s = s.copy()
+    for i, v in idx_vals:
+        s[i] = v
+    return s
+
+
 def downmix(planes, acmod: int, output: int, bias, clev_unused=None,
             slev_zero: bool = False):
     """a52_downmix (downmix.c:480-619) with exact add ordering."""
@@ -28,10 +42,7 @@ def downmix(planes, acmod: int, output: int, bias, clev_unused=None,
     s = planes
 
     def upd(idx_vals):
-        res = s
-        for i, v in idx_vals:
-            res = res.at[i].set(v)
-        return res
+        return _apply(s, idx_vals)
 
     if key == (T.A52_CHANNEL, T.A52_CHANNEL2):
         return upd([(0, s[1])])

@@ -32,7 +32,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=64)
 def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
-                     steady: bool = False, long_only: bool = False):
+                     steady: bool = False, long_only: bool = False,
+                     premixed: bool = False):
     """Returns jitted fn: (carry, blocks) -> (carry, pcm).
 
     carry: (delay [B,6,128] f32, downmixed [B] bool)
@@ -45,7 +46,8 @@ def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
     no block in the chunk is short -- also host-checked).
     """
     if steady:
-        body = partial(_pipeline_steady, long_only=long_only)
+        body = partial(_pipeline_steady, long_only=long_only,
+                       premixed=premixed)
     else:
         body = _pipeline_body
 
@@ -212,9 +214,13 @@ class BatchedDecoder:
                            chanbias=int(downmix_coeff(
                                s.acmod, s.output, 1.0, s.clev, s.slev)[1]))
         if steady_ok(fmt, blocks):
+            from ..models.decoder import premix_blocks
             lo = not np.asarray(blocks["blksw"]).any()
+            pre = fmt.nf_out < fmt.nfchans
+            if pre:
+                blocks = premix_blocks(fmt, blocks)
             fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
-                                  steady=True, long_only=lo)
+                                  steady=True, long_only=lo, premixed=pre)
         else:
             fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
         self._fmt = fmt

@@ -48,25 +48,28 @@ def main():
     from ac3acm_tpu.parallel.pipeline import batched_pipeline, init_batched_carry
 
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    nframes = int(os.environ.get("BENCH_FRAMES", "32"))
+    nframes = int(os.environ.get("BENCH_FRAMES", "64"))
     nblk = nframes * 6
 
     blocks1, meta = load_blocks(nframes)
     fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
                        slev_zero=meta["slev"] == 0.0,
                        chanbias=meta["chanbias"])
+    from ac3acm_tpu.models.decoder import premix_blocks, steady_ok
+    # scan-free fast body when the chunk qualifies (bit-identical; the
+    # golden stream is all long blocks, so the short-matrix matmul is
+    # skipped too); host premix ships only the output planes
+    steady = steady_ok(fmt, blocks1)
+    long_only = steady and not np.asarray(blocks1["blksw"]).any()
+    premixed = steady and fmt.nf_out < fmt.nfchans
+    if premixed:
+        blocks1 = premix_blocks(fmt, blocks1)
     blocks = jax.tree.map(
         lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape).copy()),
         blocks1)
 
-    from ac3acm_tpu.models.decoder import steady_ok
-    # scan-free fast body when the chunk qualifies (bit-identical; the
-    # golden stream is all long blocks, so the short-matrix matmul is
-    # skipped too)
-    steady = steady_ok(fmt, blocks1)
-    long_only = steady and not np.asarray(blocks1["blksw"]).any()
     fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
-                          long_only=long_only)
+                          long_only=long_only, premixed=premixed)
     carry = init_batched_carry(batch)
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 

@@ -107,3 +107,36 @@ def test_steady_long_only_matches():
     c2, p2 = _pipeline_steady(fmt, carry, bj, long_only=True)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
+
+
+@pytest.mark.parametrize("fmt", [
+    StreamFormat(acmod=T.A52_3F2R, output=T.A52_STEREO, slev_zero=False,
+                 chanbias=31),
+    StreamFormat(acmod=T.A52_3F2R, output=T.A52_3F | T.A52_LFE,
+                 slev_zero=False, chanbias=29),
+    StreamFormat(acmod=T.A52_STEREO, output=T.A52_MONO, slev_zero=True,
+                 chanbias=3),
+], ids=lambda f: f"acmod{f.acmod}-out{f.output}")
+def test_premixed_matches_steady(fmt):
+    """Host-premixed blocks through the premixed steady body equal the
+    device-downmix steady body bit-for-bit."""
+    from ac3acm_tpu.models.decoder import (_pipeline_steady, init_carry,
+                                           premix_blocks, steady_ok)
+    rng = np.random.default_rng(33)
+    blocks = _rand_blocks(rng, 8)
+    blocks["blksw"] = np.repeat(
+        rng.integers(0, 2, (8, 1)).astype(bool), 5, axis=1)
+    assert steady_ok(fmt, blocks)
+    pre = premix_blocks(fmt, blocks)
+    assert pre["freq"].shape == (8, fmt.nch_out, 256)
+    carry = (jnp.asarray(np.asarray(init_carry()[0])
+                         + rng.standard_normal((6, 128)).astype(np.float32)),
+             jnp.asarray(True))
+    c1, p1 = _pipeline_steady(fmt, carry, jax.tree.map(jnp.asarray, blocks))
+    c2, p2 = _pipeline_steady(fmt, carry, jax.tree.map(jnp.asarray, pre),
+                              premixed=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # output-plane delays must match (stale upper planes may differ only
+    # where the premixed body never wrote them)
+    np.testing.assert_array_equal(np.asarray(c1[0])[: fmt.nf_out],
+                                  np.asarray(c2[0])[: fmt.nf_out])
