@@ -1,0 +1,125 @@
+"""Pallas fused steady-decode kernel: matmul + OLA + int16 in one pass.
+
+The scan-free steady pipeline (models.decoder._pipeline_steady) with host
+premix reduces each (stream, output-plane) to:
+
+    zd   = freq[n, 256] @ w_long[256, 384]      (long-only chunks)
+    out  = zd[:, :256] * win + fold(shift(zd[:, 256:], d0)) * win_r + bias
+    i16  = convert_to_int16(out)
+
+XLA materializes zd (4 bytes x 384 per coefficient row) through HBM
+between the matmul and the epilogue; this kernel keeps it in VMEM --
+one grid instance per (stream, plane) runs the whole chain for all n
+blocks of the chunk and writes only the int16 PCM and the 128-float
+carry-out delay.
+
+The delay fold reverses the 128 delay lanes; Mosaic handles the
+reversal as a matmul with an exact permutation matrix (f32 x {0,1} is
+exact, and n x 128 x 128 flops are negligible next to the main matmul).
+
+Numerics: the MXU accumulation order differs from XLA's dot by ~1 ulp
+(measured 3e-8 on golden content) -- inside the reference compare-oracle
+budget (3.05e-7) but not bit-identical to the XLA steady path; the
+dispatcher treats it as an opt-in fast path for the TPU backend.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .filterbank import _mats
+
+
+@lru_cache(maxsize=1)
+def _consts():
+    w_long, w_short, win = _mats()
+    rev = np.zeros((128, 128), np.float32)
+    rev[np.arange(128), 127 - np.arange(128)] = 1.0
+    return (w_long.astype(np.float32), win.astype(np.float32),
+            win[::-1].copy().astype(np.float32), rev)
+
+
+def _kernel(freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref, rev_ref,
+            out_ref, dlast_ref):
+    zd = jnp.dot(freq_ref[0, 0], w_ref[:],
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)       # [n, 384]
+    z = zd[:, :256]
+    d = zd[:, 256:]                                          # [n, 128]
+    dchain = jnp.concatenate([d0_ref[0, 0, :1], d[:-1]], axis=0)    # [n,128]
+    drev = jnp.dot(dchain, rev_ref[:],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)      # exact reversal
+    dfold = jnp.concatenate([dchain, drev], axis=1)          # [n, 256]
+    bias = bias_ref[0, 0][:, None]                           # [n, 1]
+    out = z * win_ref[0] + dfold * winr_ref[0] + bias
+    x = (out - 384.0) * 32768.0
+    out_ref[0, 0] = jnp.clip(
+        jnp.round(x), -32768.0, 32767.0).astype(jnp.int16)
+    # d[-1] as a negative index lowers to dynamic_slice (unsupported on
+    # Mosaic TC); slice the last row statically instead
+    nblk = d.shape[0]
+    dlast_ref[0, 0] = jnp.broadcast_to(d[nblk - 1:nblk], (8, 128))
+
+
+def fused_steady(freq, d0, bias):
+    """freq [B, P, n, 256] premixed long-only planes; d0 [B, P, 128] carry;
+    bias [B, n] (the per-block state bias, 384.0 normally).
+
+    -> (pcm int16 [B, n, P, 256], d_last [B, P, 128])
+
+    P = nch_out planes in output order (LFE first when present -- the
+    caller lays them out; every plane has the same long-block chain).
+    """
+    w_long, win, win_r, rev = _consts()
+    B, P, n, _ = freq.shape
+    # Mosaic wants (8, 128)-aligned trailing block dims: the tiny per-plane
+    # carry rows ride in 8-row sublane tiles (row 0 is the data)
+    d0_pad = jnp.broadcast_to(d0[:, :, None, :], (B, P, 8, 128))
+    bias_b8 = jnp.broadcast_to(bias[:, None, :], (B, 8, n))
+
+    grid = (B, P)
+    out, dlast = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, n, 256), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 384), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n, 256), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, n, 256), jnp.int16),
+            jax.ShapeDtypeStruct((B, P, 8, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * P * n * 256 * 384,
+            bytes_accessed=B * P * n * (1024 + 512) + 256 * 384 * 4,
+            transcendentals=0,
+        ),
+    )(freq, d0_pad, bias_b8,
+      jnp.asarray(w_long), jnp.asarray(win)[None], jnp.asarray(win_r)[None],
+      jnp.asarray(rev))
+    # [B, P, n, 256] -> the pipeline's [B, n, P, 256] block-major layout
+    return jnp.swapaxes(out, 1, 2), dlast[:, :, 0, :]

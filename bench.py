@@ -62,28 +62,56 @@ def main():
     steady = steady_ok(fmt, blocks1)
     long_only = steady and not np.asarray(blocks1["blksw"]).any()
     premixed = steady and fmt.nf_out < fmt.nfchans
-    if premixed:
-        blocks1 = premix_blocks(fmt, blocks1)
-    blocks = jax.tree.map(
-        lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape).copy()),
-        blocks1)
-
-    fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
-                          long_only=long_only, premixed=premixed)
-    carry = init_batched_carry(batch)
+    fused = (premixed and long_only
+             and os.environ.get("BENCH_NO_PALLAS", "") != "1")
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
-    for _ in range(2):                       # warmup incl. the barrier
-        carry, pcm = fn(carry, blocks)
-        _ = int(chk(pcm))
+    if fused:
+        # Pallas fused kernel: matmul + OLA + int16 in VMEM, zd never
+        # touches HBM (ops/pallas_steady.py); same equivalence class as
+        # the XLA path vs the reference (+-1 LSB where the bias-384 grid
+        # rounds a ~1e-7 float difference across a boundary)
+        from ac3acm_tpu.ops.pallas_steady import fused_steady
+        pre = premix_blocks(fmt, blocks1)
+        freq1 = np.moveaxis(pre["freq"], -2, 0)      # plane-major [P, n, 256]
+        P = freq1.shape[0]
+        freq = jnp.asarray(np.broadcast_to(freq1, (batch,) + freq1.shape)
+                           .copy())
+        bias_d = jnp.asarray(np.broadcast_to(pre["bias"], (batch, nblk))
+                             .copy())
+        d0 = jnp.zeros((batch, P, 128), jnp.float32)
+        fn = jax.jit(fused_steady)
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        carry, pcm = fn(carry, blocks)
-        _ = int(chk(pcm))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        for _ in range(2):
+            pcm, d0 = fn(freq, d0, bias_d)
+            _ = int(chk(pcm))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            pcm, d0 = fn(freq, d0, bias_d)
+            _ = int(chk(pcm))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+    else:
+        if premixed:
+            blocks1 = premix_blocks(fmt, blocks1)
+        blocks = jax.tree.map(
+            lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape)
+                                  .copy()),
+            blocks1)
+        fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
+                              long_only=long_only, premixed=premixed)
+        carry = init_batched_carry(batch)
+        for _ in range(2):                   # warmup incl. the barrier
+            carry, pcm = fn(carry, blocks)
+            _ = int(chk(pcm))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            carry, pcm = fn(carry, blocks)
+            _ = int(chk(pcm))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
 
     audio_seconds = batch * nblk * 256 / 48000.0
     rtf = audio_seconds / dt
