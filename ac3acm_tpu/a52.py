@@ -44,6 +44,7 @@ class a52_state_t:
         self._blkno = 0
         self._nch = 0
         self._frame = None
+        self._out_flags = None
         self._flags = 0
         self._level = 1.0
         self._bias = 0.0
@@ -63,14 +64,23 @@ def a52_syncinfo(buf: bytes):
 def a52_frame(state: a52_state_t, buf: bytes, flags: int,
               level: float = 1.0, bias: float = 0.0) -> int:
     """Stage one frame.  Returns 0 on success (decode happens lazily at the
-    first a52_block).  flags/level/bias as in the C API; the adjusted flags
-    are readable via a52_flags(state)."""
+    first a52_block).  flags/level/bias as in the C API; like the
+    reference's a52_frame (liba52 parse.c:131-205) which writes the
+    negotiated output mode back into *flags, the adjusted flags are
+    readable via a52_flags(state)."""
     state._frame = bytes(buf)
     state._flags = flags
     state._level = level
     state._bias = bias
     state._blocks = None
     state._blkno = 0
+    try:
+        from .host.parse import A52Parser
+        p = A52Parser()
+        p.frame(state._frame, flags, level, bias)
+        state._out_flags = int(p.s.output)
+    except Exception:
+        return 1
     return 0
 
 
@@ -109,6 +119,14 @@ def a52_samples(state: a52_state_t) -> np.ndarray:
 
 
 def a52_flags(state: a52_state_t) -> int:
+    """The *negotiated* output mode of the staged frame (what a52_samples
+    will actually contain), matching the flags the reference writes back
+    through a52_frame's flags pointer -- not the raw stream mode from
+    syncinfo.  E.g. a 3F2R+LFE stream decoded with A52_STEREO reports
+    A52_STEREO here."""
+    out = getattr(state, "_out_flags", None)
+    if out is not None:
+        return out
     size, flags, _, _ = _syncinfo(state._frame[:7])
     return flags
 

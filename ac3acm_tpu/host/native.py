@@ -46,16 +46,38 @@ class FrameOut(C.Structure):
     ]
 
 
+def _src_digest() -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for name in ("ac3host.cpp", "ac3sample.inc"):
+        with open(os.path.join(_NATIVE_DIR, name), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def _build() -> str:
+    """Compile the native host library on demand.
+
+    The rebuild is keyed on a content hash of the sources (stored next to
+    the artifact), not on mtimes -- a fresh clone gets equal mtimes and a
+    stale or wrong-arch binary must never be loaded silently.
+    """
     os.makedirs(_BUILD_DIR, exist_ok=True)
     src = os.path.join(_NATIVE_DIR, "ac3host.cpp")
     so = os.path.join(_BUILD_DIR, "libac3host.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
+    stamp = so + ".sha256"
+    digest = _src_digest()
+    have = None
+    if os.path.exists(so) and os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+    if have != digest:
         subprocess.run(
             ["g++", "-O3", "-ffp-contract=off", "-fPIC", "-shared",
              "-std=c++17", src, "-o", so],
             check=True, capture_output=True, text=True)
+        with open(stamp, "w") as f:
+            f.write(digest)
     return so
 
 

@@ -128,6 +128,14 @@ class StreamLane:
     buf: bytes = b""
     pos: int = 0
     ok: bool = True          # failure-detection lane mask
+    # parsed-but-not-yet-emitted FrameData (uneven lane feeds leave a
+    # remainder here; the next decode_available resumes with it instead
+    # of dropping consumed frames)
+    pending: list = None
+
+    def __post_init__(self):
+        if self.pending is None:
+            self.pending = []
 
 
 class BatchedDecoder:
@@ -177,42 +185,50 @@ class BatchedDecoder:
         if no lane had a complete frame.
         """
         from ..models.decoder import _stack_blocks
-        per_lane = []
-        nf = max_frames
         for lane in self.lanes:
-            frames = []
-            while len(frames) < nf:
+            while len(lane.pending) < max_frames:
                 fb = self._next_frame(lane)
                 if fb is None:
                     break
                 try:
-                    frames.append(self.parser_decode(lane, fb))
+                    lane.pending.append(self.parser_decode(lane, fb))
                 except Exception:
-                    frames.append(None)       # bad frame: masked lane-frame
-            per_lane.append(frames)
-        nf = min((len(f) for f in per_lane), default=0)
+                    lane.pending.append(None)  # bad frame: masked lane-frame
+        nf = min((len(l.pending) for l in self.lanes), default=0)
         if nf == 0:
             return None
+        per_lane = [lane.pending[:nf] for lane in self.lanes]
+        for lane in self.lanes:
+            del lane.pending[:nf]
         valid = np.ones((len(self.lanes), nf), bool)
         stacked = []
+        first = None                 # first valid FrameData in the batch
         for li, frames in enumerate(per_lane):
-            frames = frames[:nf]
             fixed = []
             for fi, f in enumerate(frames):
                 if f is None:
                     valid[li, fi] = False
                     fixed.append(self._empty_frame())
                 else:
+                    if first is None:
+                        first = f
                     fixed.append(f)
             stacked.append(_stack_blocks(fixed))
         blocks = jax.tree.map(lambda *xs: np.stack(xs), *stacked)
 
-        s = self.lanes[0].parser.s
-        from ..host.parse import downmix_coeff
-        fmt = StreamFormat(acmod=s.acmod, output=s.output,
-                           slev_zero=bool(s.slev == 0.0),
-                           chanbias=int(downmix_coeff(
-                               s.acmod, s.output, 1.0, s.clev, s.slev)[1]))
+        # format from the frames actually being emitted (the live parser
+        # state may already be ahead, on pending frames kept for later)
+        if first is not None:
+            fmt = StreamFormat(acmod=first.acmod, output=first.output,
+                               slev_zero=bool(first.slev == 0.0),
+                               chanbias=int(first.blocks[0].chanbias))
+        else:
+            s = self.lanes[0].parser.s
+            from ..host.parse import downmix_coeff
+            fmt = StreamFormat(acmod=s.acmod, output=s.output,
+                               slev_zero=bool(s.slev == 0.0),
+                               chanbias=int(downmix_coeff(
+                                   s.acmod, s.output, 1.0, s.clev, s.slev)[1]))
         if steady_ok(fmt, blocks):
             from ..models.decoder import premix_blocks
             lo = not np.asarray(blocks["blksw"]).any()

@@ -88,3 +88,20 @@ def test_a52_dynrng_callback():
     # the stream carries dynrng gains, so remap/disable change the output
     assert not np.array_equal(halved, base)
     assert not np.array_equal(disabled, base)
+
+
+def test_a52_flags_negotiated():
+    """a52_flags returns the negotiated output mode (what a52_samples will
+    contain), matching the flags a52_frame writes back in the reference
+    (liba52 parse.c:131-205) -- not the raw stream mode."""
+    golden = __file__.rsplit("/", 1)[0] + "/golden/bench_51_448.ac3"
+    es = open(golden, "rb").read()
+    size, stream_flags, _, _ = a52.a52_syncinfo(es[:7])
+    assert (stream_flags & a52.A52_CHANNEL_MASK) == a52.A52_3F2R
+    st = a52.a52_init(0)
+    assert a52.a52_frame(st, es[:size], a52.A52_STEREO) == 0
+    assert a52.a52_flags(st) == a52.A52_STEREO
+    # requesting more channels than coded: negotiation clamps to the source
+    assert a52.a52_frame(st, es[:size], a52.A52_3F2R | a52.A52_LFE) == 0
+    assert a52.a52_flags(st) == (a52.A52_3F2R | a52.A52_LFE)
+    a52.a52_free(st)

@@ -52,6 +52,41 @@ def test_checkpoint_resume(tmp_path):
     assert last.shape == (1, 2, 256) and csnr[0] == 40
 
 
+def test_checkpoint_parser_state_no_pickle(tmp_path):
+    """Parser side-info state round-trips via plain arrays (the npz holds
+    no pickled objects, so untrusted checkpoints cannot execute code)."""
+    import os
+    import zipfile
+    from ac3acm_tpu.host.parse import A52Parser
+    from ac3acm_tpu.models.decoder import init_carry
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    p = A52Parser()
+    from ac3acm_tpu.host.parse import syncinfo
+    size, _, _, _ = syncinfo(es[:7])
+    fd1 = p.decode_frame(es[:size], T.A52_STEREO, 1.0, 0.0)
+    path = str(tmp_path / "state.npz")
+    save_decode_state(path, init_carry(), parser=p)
+    _, s2 = load_decode_state(path)
+    # resumed parser decodes the next frame identically to the original
+    p2 = A52Parser()
+    p2.s = s2
+    size2, _, _, _ = syncinfo(es[size:size + 7])
+    fa = p.decode_frame(es[size:size + size2], T.A52_STEREO, 1.0, 0.0)
+    fb = p2.decode_frame(es[size:size + size2], T.A52_STEREO, 1.0, 0.0)
+    for ba, bb in zip(fa.blocks, fb.blocks):
+        np.testing.assert_array_equal(ba.q, bb.q)
+        np.testing.assert_array_equal(ba.a, bb.a)
+        np.testing.assert_array_equal(ba.b, bb.b)
+    # and the file itself contains no pickled payloads
+    with zipfile.ZipFile(path) as zf:
+        for name in zf.namelist():
+            head = zf.read(name)[:160]
+            assert head[:6] == b"\x93NUMPY"
+            assert b"'descr': '|O'" not in head
+
+
 def test_config_roundtrip(tmp_path):
     cfg = CodecConfig(multichannel=False, dolby_surround=True)
     p = str(tmp_path / "cfg.json")
