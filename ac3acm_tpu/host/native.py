@@ -49,7 +49,7 @@ class FrameOut(C.Structure):
 def _src_digest() -> str:
     import hashlib
     h = hashlib.sha256()
-    for name in ("ac3host.cpp", "ac3sample.inc"):
+    for name in ("ac3host.cpp", "ac3sample.inc", "ac3fb.inc"):
         with open(os.path.join(_NATIVE_DIR, name), "rb") as f:
             h.update(f.read())
     return h.hexdigest()

@@ -8,9 +8,14 @@
 // the host fans streams out across threads (the GIL is released during
 // calls).
 //
-// Behavioural parity: liba52 parse.c / bit_allocate.c / downmix.c (decode
-// semantics only -- this is an original implementation mirroring the
-// project's Python host parser, cross-checked bit-for-bit in tests).
+// Behavioural parity: liba52 parse.c / bit_allocate.c / downmix.c decode
+// semantics, cross-checked bit-for-bit against the compiled reference in
+// tests.  Derivation note: bit-exact float output pins the *evaluation
+// order* of the filterbank and mixers to the reference's; that order is
+// captured as data (butterfly schedules, synthesis index tables, mixer
+// byte-code -- see ac3fb.inc) and executed by generic interpreters, the
+// same planner/replay approach as the device-side ops/imdct_exact.py.
+// The parser and allocator are spec-form (ATSC A/52) implementations.
 //
 // Build: g++ -O3 -march=native -fPIC -shared ac3host.cpp -o libac3host.so
 
@@ -1097,17 +1102,25 @@ extern "C" int ac3h_frames(Parser* s, const uint8_t* buf, int64_t buflen,
 // Native CPU decode backend: bit-exact IMDCT filterbank + downmix.
 //
 // Compiled with -ffp-contract=off so every f32 multiply rounds exactly as
-// the reference build does; this path is the framework's bit-matching
-// decoder (and CPU fallback), while the TPU pipeline is the throughput
-// path.  Algebra mirrors imdct.c:77-345 / downmix.c:332-685 and the
-// project's device pipeline (models/decoder.py _block_step).
+// the reference build does.  The filterbank and mixers are data-driven --
+// a plan of butterfly ops and index tables executed by the generic
+// interpreters in ac3fb.inc (shared with the fixed/double sample-type
+// builds in ac3sample.inc).  The *operation tree* preserves the reference
+// decoder's evaluation order (imdct.c:77-345, downmix.c:332-685), which is
+// what bit-exactness requires; the code structure is the planner +
+// interpreter design also used by ops/imdct_exact.py on the device side.
 // ===========================================================================
 
-struct Cpx { float re, im; };
+#include "ac3fb.inc"
 
-static float g_roots16[3], g_roots32[7], g_roots64[15], g_roots128[31];
-static Cpx g_pre1[128], g_post1[64], g_pre2[64], g_post2[32];
-static float g_window[256];
+struct FloatOps {
+    typedef float sample_t;
+    typedef float level_t;
+    static float MUL(float a, float b) { return a * b; }
+    static float BIASV(float x, float b) { return x + b; }
+};
+
+static FbTables<float> g_fbt;
 static uint8_t g_fftorder[128];
 static bool g_imdct_ready = false;
 
@@ -1134,8 +1147,10 @@ static void build_fftorder() {
     for (int i = 0; i < 128; i++) g_fftorder[i] = (uint8_t)(tmp[i] & 255);
 }
 
-static void imdct_init_native() {
-    if (g_imdct_ready) return;
+// fill an FbTables<S> from the closed-form twiddle/window formulas
+// (KBD window per imdct.c:358-412; the CAST hook converts per sample type)
+template <class S, class CAST>
+static void fb_fill_tables(FbTables<S>& t, const uint8_t* order, CAST cast) {
     double sum = 0, local[256];
     const double c = 5.0 * M_PI / 256.0;
     for (int i = 0; i < 256; i++) {
@@ -1143,180 +1158,49 @@ static void imdct_init_native() {
         local[i] = sum;
     }
     sum += 1.0;
-    for (int i = 0; i < 256; i++) g_window[i] = (float)sqrt(local[i] / sum);
-    for (int i = 0; i < 3; i++) g_roots16[i] = (float)cos((M_PI / 8) * (i + 1));
-    for (int i = 0; i < 7; i++) g_roots32[i] = (float)cos((M_PI / 16) * (i + 1));
-    for (int i = 0; i < 15; i++) g_roots64[i] = (float)cos((M_PI / 32) * (i + 1));
-    for (int i = 0; i < 31; i++) g_roots128[i] = (float)cos((M_PI / 64) * (i + 1));
-    build_fftorder();
+    for (int i = 0; i < 256; i++) t.window[i] = cast(sqrt(local[i] / sum));
+    for (int i = 0; i < 3; i++) t.roots16[i] = cast(cos((M_PI / 8) * (i + 1)));
+    for (int i = 0; i < 7; i++) t.roots32[i] = cast(cos((M_PI / 16) * (i + 1)));
+    for (int i = 0; i < 15; i++) t.roots64[i] = cast(cos((M_PI / 32) * (i + 1)));
+    for (int i = 0; i < 31; i++) t.roots128[i] = cast(cos((M_PI / 64) * (i + 1)));
     for (int i = 0; i < 128; i++) {
-        int k = g_fftorder[i] / 2 + 64;
+        int k = order[i] / 2 + 64;
         double s = i < 64 ? 1.0 : -1.0;
-        g_pre1[i].re = (float)(s * cos((M_PI / 256) * (k - 0.25)));
-        g_pre1[i].im = (float)(s * sin((M_PI / 256) * (k - 0.25)));
+        t.pre1[i].re = cast(s * cos((M_PI / 256) * (k - 0.25)));
+        t.pre1[i].im = cast(s * sin((M_PI / 256) * (k - 0.25)));
     }
     for (int i = 0; i < 64; i++) {
-        g_post1[i].re = (float)cos((M_PI / 256) * (i + 0.5));
-        g_post1[i].im = (float)sin((M_PI / 256) * (i + 0.5));
+        t.post1[i].re = cast(cos((M_PI / 256) * (i + 0.5)));
+        t.post1[i].im = cast(sin((M_PI / 256) * (i + 0.5)));
     }
     for (int i = 0; i < 64; i++) {
-        int k = g_fftorder[i] / 4;
-        g_pre2[i].re = (float)cos((M_PI / 128) * (k - 0.25));
-        g_pre2[i].im = (float)sin((M_PI / 128) * (k - 0.25));
+        int k = order[i] / 4;
+        t.pre2[i].re = cast(cos((M_PI / 128) * (k - 0.25)));
+        t.pre2[i].im = cast(sin((M_PI / 128) * (k - 0.25)));
     }
     for (int i = 0; i < 32; i++) {
-        g_post2[i].re = (float)cos((M_PI / 128) * (i + 0.5));
-        g_post2[i].im = (float)sin((M_PI / 128) * (i + 0.5));
+        t.post2[i].re = cast(cos((M_PI / 128) * (i + 0.5)));
+        t.post2[i].im = cast(sin((M_PI / 128) * (i + 0.5)));
     }
+}
+
+static void imdct_init_native() {
+    if (g_imdct_ready) return;
+    build_fftorder();
+    fb_fill_tables(g_fbt, g_fftorder, [](double x) { return (float)x; });
+    fb_plans(g_fftorder);            // build the shared butterfly schedule
     g_imdct_ready = true;
 }
 
-static inline void ifft2(Cpx* buf) {
-    float r = buf[0].re, i = buf[0].im;
-    buf[0].re += buf[1].re;
-    buf[0].im += buf[1].im;
-    buf[1].re = r - buf[1].re;
-    buf[1].im = i - buf[1].im;
-}
-
-static inline void ifft4(Cpx* buf) {
-    float t1 = buf[0].re + buf[1].re, t2 = buf[3].re + buf[2].re;
-    float t3 = buf[0].im + buf[1].im, t4 = buf[2].im + buf[3].im;
-    float t5 = buf[0].re - buf[1].re, t6 = buf[0].im - buf[1].im;
-    float t7 = buf[2].im - buf[3].im, t8 = buf[3].re - buf[2].re;
-    buf[0].re = t1 + t2; buf[0].im = t3 + t4;
-    buf[2].re = t1 - t2; buf[2].im = t3 - t4;
-    buf[1].re = t5 + t7; buf[1].im = t6 + t8;
-    buf[3].re = t5 - t7; buf[3].im = t6 - t8;
-}
-
-#define BF0(t0, t1, W0, W1, d0, d1) do { \
-    t0 = (W1) * (d1) + (W0) * (d0); \
-    t1 = (W0) * (d1) - (W1) * (d0); } while (0)
-
-static inline void bf_zero(Cpx& a0, Cpx& a1, Cpx& a2, Cpx& a3) {
-    float t1 = a2.re + a3.re, t2 = a2.im + a3.im;
-    float t3 = a2.im - a3.im, t4 = a3.re - a2.re;
-    a2.re = a0.re - t1; a2.im = a0.im - t2;
-    a3.re = a1.re - t3; a3.im = a1.im - t4;
-    a0.re += t1; a0.im += t2;
-    a1.re += t3; a1.im += t4;
-}
-
-static inline void bf_half(Cpx& a0, Cpx& a1, Cpx& a2, Cpx& a3, float w) {
-    float t5 = (a2.re + a2.im) * w, t6 = (a2.im - a2.re) * w;
-    float t7 = (a3.re - a3.im) * w, t8 = (a3.im + a3.re) * w;
-    float t1 = t5 + t7, t2 = t6 + t8, t3 = t6 - t8, t4 = t7 - t5;
-    a2.re = a0.re - t1; a2.im = a0.im - t2;
-    a3.re = a1.re - t3; a3.im = a1.im - t4;
-    a0.re += t1; a0.im += t2;
-    a1.re += t3; a1.im += t4;
-}
-
-static inline void bf(Cpx& a0, Cpx& a1, Cpx& a2, Cpx& a3, float wr, float wi) {
-    float t5, t6, t7, t8;
-    BF0(t5, t6, wr, wi, a2.re, a2.im);
-    BF0(t8, t7, wr, wi, a3.im, a3.re);
-    float t1 = t5 + t7, t2 = t6 + t8, t3 = t6 - t8, t4 = t7 - t5;
-    a2.re = a0.re - t1; a2.im = a0.im - t2;
-    a3.re = a1.re - t3; a3.im = a1.im - t4;
-    a0.re += t1; a0.im += t2;
-    a1.re += t3; a1.im += t4;
-}
-
-static inline void ifft8(Cpx* buf) {
-    ifft4(buf); ifft2(buf + 4); ifft2(buf + 6);
-    bf_zero(buf[0], buf[2], buf[4], buf[6]);
-    bf_half(buf[1], buf[3], buf[5], buf[7], g_roots16[1]);
-}
-
-static void ifft_pass(Cpx* buf, const float* w, int n) {
-    Cpx *b1 = buf + n, *b2 = buf + 2 * n, *b3 = buf + 3 * n;
-    bf_zero(buf[0], b1[0], b2[0], b3[0]);
-    for (int j = 1; j < n; j++)
-        bf(buf[j], b1[j], b2[j], b3[j], w[j - 1], w[n - 1 - j]);
-}
-
-static void ifft16(Cpx* b) { ifft8(b); ifft4(b + 8); ifft4(b + 12); ifft_pass(b, g_roots16, 4); }
-static void ifft32(Cpx* b) { ifft16(b); ifft8(b + 16); ifft8(b + 24); ifft_pass(b, g_roots32, 8); }
-static void ifft64(Cpx* b) { ifft32(b); ifft16(b + 32); ifft16(b + 48); ifft_pass(b, g_roots64, 16); }
-static void ifft128(Cpx* b) {
-    ifft32(b); ifft16(b + 32); ifft16(b + 48); ifft_pass(b, g_roots64, 16);
-    ifft32(b + 64); ifft32(b + 96); ifft_pass(b, g_roots128, 32);
-}
-
-// data [256] in place -> first-half output; delay [128] OLA state
+// data [256] in place -> windowed overlap-added output; delay [128] OLA state
 extern "C" void ac3h_imdct512(float* data, float* delay, float bias) {
     imdct_init_native();
-    Cpx buf[128];
-    for (int i = 0; i < 128; i++) {
-        int k = g_fftorder[i];
-        BF0(buf[i].re, buf[i].im, g_pre1[i].re, g_pre1[i].im,
-            data[k], data[255 - k]);
-    }
-    ifft128(buf);
-    for (int i = 0; i < 64; i++) {
-        float t_r = g_post1[i].re, t_i = g_post1[i].im;
-        float a_r, a_i, b_r, b_i;
-        BF0(a_r, a_i, t_i, t_r, buf[i].im, buf[i].re);
-        BF0(b_r, b_i, t_r, t_i, buf[127 - i].im, buf[127 - i].re);
-        float w1 = g_window[2 * i], w2 = g_window[255 - 2 * i];
-        float de = delay[2 * i];
-        data[255 - 2 * i] = (de * w1 + a_r * w2) + bias;
-        data[2 * i] = (de * w2 - a_r * w1) + bias;
-        delay[2 * i] = a_i;
-        w1 = g_window[2 * i + 1];
-        w2 = g_window[254 - 2 * i];
-        float dq = delay[2 * i + 1];
-        data[2 * i + 1] = (dq * w2 + b_r * w1) + bias;
-        data[254 - 2 * i] = (dq * w1 - b_r * w2) + bias;
-        delay[2 * i + 1] = b_i;
-    }
+    fb_synth<FloatOps>(fb_plans(g_fftorder), false, g_fbt, data, delay, bias);
 }
 
 extern "C" void ac3h_imdct256(float* data, float* delay, float bias) {
     imdct_init_native();
-    Cpx buf1[64], buf2[64];
-    for (int i = 0; i < 64; i++) {
-        int k = g_fftorder[i];
-        BF0(buf1[i].re, buf1[i].im, g_pre2[i].re, g_pre2[i].im,
-            data[k], data[254 - k]);
-        BF0(buf2[i].re, buf2[i].im, g_pre2[i].re, g_pre2[i].im,
-            data[k + 1], data[255 - k]);
-    }
-    ifft64(buf1);
-    ifft64(buf2);
-    for (int i = 0; i < 32; i++) {
-        float t_r = g_post2[i].re, t_i = g_post2[i].im;
-        float a_r, a_i, b_r, b_i, c_r, c_i, d_r, d_i;
-        BF0(a_r, a_i, t_i, t_r, buf1[i].im, buf1[i].re);
-        BF0(b_r, b_i, t_r, t_i, buf1[63 - i].im, buf1[63 - i].re);
-        BF0(c_r, c_i, t_i, t_r, buf2[i].im, buf2[i].re);
-        BF0(d_r, d_i, t_r, t_i, buf2[63 - i].im, buf2[63 - i].re);
-        float w1 = g_window[2 * i], w2 = g_window[255 - 2 * i];
-        float de = delay[2 * i];
-        data[255 - 2 * i] = (de * w1 + a_r * w2) + bias;
-        data[2 * i] = (de * w2 - a_r * w1) + bias;
-        delay[2 * i] = c_i;
-        w1 = g_window[128 + 2 * i];
-        w2 = g_window[127 - 2 * i];
-        float d1 = delay[127 - 2 * i];
-        data[128 + 2 * i] = (d1 * w2 + a_i * w1) + bias;
-        data[127 - 2 * i] = (d1 * w1 - a_i * w2) + bias;
-        delay[127 - 2 * i] = c_r;
-        w1 = g_window[2 * i + 1];
-        w2 = g_window[254 - 2 * i];
-        float d2 = delay[2 * i + 1];
-        data[254 - 2 * i] = (d2 * w1 + b_i * w2) + bias;
-        data[2 * i + 1] = (d2 * w2 - b_i * w1) + bias;
-        delay[2 * i + 1] = d_r;
-        w1 = g_window[129 + 2 * i];
-        w2 = g_window[126 - 2 * i];
-        float d3 = delay[126 - 2 * i];
-        data[129 + 2 * i] = (d3 * w2 + b_r * w1) + bias;
-        data[126 - 2 * i] = (d3 * w1 - b_r * w2) + bias;
-        delay[126 - 2 * i] = d_i;
-    }
+    fb_synth<FloatOps>(fb_plans(g_fftorder), true, g_fbt, data, delay, bias);
 }
 
 // ---------------------------------------------------------------------------
@@ -1445,245 +1329,33 @@ extern "C" int ac3h_dec_frame(NativeDecoder* d, const uint8_t* buf, int flags,
     return ac3h_dec_blocks(d, &fo, pcm, nch_out);
 }
 
-// exact mixer orders (downmix.c:332-619 / a52_upmix:621-685)
-static void native_downmix_n(float s[6][256], int n, int acmod, int output,
-                             float bias, float slev);
-
+// mixer byte-code dispatch (programs + interpreter in ac3fb.inc; rounding
+// per downmix.c:332-619 / a52_upmix:621-685)
 static void native_downmix(float s[6][256], int n, int acmod, int output,
                            float bias, float slev)
 {
-    native_downmix_n(s, n, acmod, output, bias, slev);
+    float* planes[6];
+    for (int c = 0; c < 6; c++) planes[c] = s[c];
+    mix_run<FloatOps>(mix_program(acmod, output, slev == 0.0f), planes, n,
+                      bias);
 }
 
 static void native_downmix_delay(float dl[6][128], int acmod, int output,
                                  float slev)
 {
-    // same mixers over the 128-sample OLA region, bias 0 (parse.c:925-926)
-    float tmp[6][256];
-    memset(tmp, 0, sizeof(tmp));
-    for (int c = 0; c < 6; c++) memcpy(tmp[c], dl[c], 512);
-    native_downmix_n(tmp, 128, acmod, output, 0.0f, slev);
-    for (int c = 0; c < 6; c++) memcpy(dl[c], tmp[c], 512);
-}
-
-static void native_downmix_n(float s[6][256], int n, int acmod, int output,
-                             float bias, float slev)
-{
-    bool sz = slev == 0.0f;
-    switch (CVT(acmod, output & A52_CHANNEL_MASK)) {
-    case CVT(A52_CHANNEL, A52_CHANNEL2):
-        for (int i = 0; i < n; i++) s[0][i] = s[1][i];
-        break;
-    case CVT(A52_CHANNEL, A52_MONO):
-    case CVT(A52_STEREO, A52_MONO):
-    mix_2to1:
-        for (int i = 0; i < n; i++) s[0][i] += (s[1][i] + bias);
-        break;
-    case CVT(A52_2F1R, A52_MONO):
-        if (sz) goto mix_2to1;
-        goto mix_3to1;
-    case CVT(A52_3F, A52_MONO):
-    mix_3to1:
-        for (int i = 0; i < n; i++) s[0][i] += (s[1][i] + s[2][i] + bias);
-        break;
-    case CVT(A52_3F1R, A52_MONO):
-        if (sz) goto mix_3to1;
-        for (int i = 0; i < n; i++)
-            s[0][i] += (s[1][i] + s[2][i] + s[3][i] + bias);
-        break;
-    case CVT(A52_2F2R, A52_MONO):
-        if (sz) goto mix_2to1;
-        for (int i = 0; i < n; i++)
-            s[0][i] += (s[1][i] + s[2][i] + s[3][i] + bias);
-        break;
-    case CVT(A52_3F2R, A52_MONO):
-        if (sz) goto mix_3to1;
-        for (int i = 0; i < n; i++)
-            s[0][i] += (s[1][i] + s[2][i] + s[3][i] + s[4][i] + bias);
-        break;
-    case CVT(A52_MONO, A52_DOLBY):
-        for (int i = 0; i < n; i++) s[1][i] = s[0][i];
-        break;
-    case CVT(A52_3F, A52_STEREO):
-    case CVT(A52_3F, A52_DOLBY):
-    mix_3to2:
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            s[0][i] += common;
-            s[1][i] = s[2][i] + common;
-        }
-        break;
-    case CVT(A52_2F1R, A52_STEREO):
-        if (sz) break;
-        for (int i = 0; i < n; i++) {
-            float common = s[2][i] + bias;
-            s[0][i] += common;
-            s[1][i] += common;
-        }
-        break;
-    case CVT(A52_2F1R, A52_DOLBY):
-        for (int i = 0; i < n; i++) {
-            float sur = s[2][i];
-            s[0][i] += (-sur + bias);
-            s[1][i] += (sur + bias);
-        }
-        break;
-    case CVT(A52_3F1R, A52_STEREO):
-        if (sz) goto mix_3to2;
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + s[3][i] + bias;
-            s[0][i] += common;
-            s[1][i] = s[2][i] + common;
-        }
-        break;
-    case CVT(A52_3F1R, A52_DOLBY):
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            float sur = s[3][i];
-            s[0][i] += (common - sur);
-            s[1][i] = s[2][i] + common + sur;
-        }
-        break;
-    case CVT(A52_2F2R, A52_STEREO):
-        if (sz) break;
-        for (int i = 0; i < n; i++) s[0][i] += (s[2][i] + bias);
-        for (int i = 0; i < n; i++) s[1][i] += (s[3][i] + bias);
-        break;
-    case CVT(A52_2F2R, A52_DOLBY):
-        for (int i = 0; i < n; i++) {
-            float sur = s[2][i] + s[3][i];
-            s[0][i] += (-sur + bias);
-            s[1][i] += (sur + bias);
-        }
-        break;
-    case CVT(A52_3F2R, A52_STEREO):
-        if (sz) goto mix_3to2;
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            s[0][i] += (common + s[3][i]);
-            s[1][i] = common + s[2][i] + s[4][i];
-        }
-        break;
-    case CVT(A52_3F2R, A52_DOLBY):
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            float sur = s[3][i] + s[4][i];
-            s[0][i] += (common - sur);
-            s[1][i] = s[2][i] + common + sur;
-        }
-        break;
-    case CVT(A52_3F1R, A52_3F):
-        if (sz) break;
-        for (int i = 0; i < n; i++) {
-            float common = s[3][i] + bias;
-            s[0][i] += common;
-            s[2][i] += common;
-        }
-        break;
-    case CVT(A52_3F2R, A52_3F):
-        if (sz) break;
-        for (int i = 0; i < n; i++) s[0][i] += (s[3][i] + bias);
-        for (int i = 0; i < n; i++) s[2][i] += (s[4][i] + bias);
-        break;
-    case CVT(A52_3F1R, A52_2F1R):
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            s[0][i] += common;
-            s[1][i] = s[2][i] + common;
-        }
-        for (int i = 0; i < n; i++) s[2][i] = s[3][i];
-        break;
-    case CVT(A52_2F2R, A52_2F1R):
-        for (int i = 0; i < n; i++) s[2][i] += (s[3][i] + bias);
-        break;
-    case CVT(A52_3F2R, A52_2F1R):
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            s[0][i] += common;
-            s[1][i] = s[2][i] + common;
-        }
-        for (int i = 0; i < n; i++) s[2][i] = (s[3][i] + s[4][i] + bias);
-        break;
-    case CVT(A52_3F2R, A52_3F1R):
-        for (int i = 0; i < n; i++) s[3][i] += (s[4][i] + bias);
-        break;
-    case CVT(A52_2F1R, A52_2F2R):
-        for (int i = 0; i < n; i++) s[3][i] = s[2][i];
-        break;
-    case CVT(A52_3F1R, A52_2F2R):
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            s[0][i] += common;
-            s[1][i] = s[2][i] + common;
-        }
-        for (int i = 0; i < n; i++) s[2][i] = s[3][i];
-        break;
-    case CVT(A52_3F2R, A52_2F2R):
-        for (int i = 0; i < n; i++) {
-            float common = s[1][i] + bias;
-            s[0][i] += common;
-            s[1][i] = s[2][i] + common;
-        }
-        for (int i = 0; i < n; i++) s[2][i] = s[3][i];
-        for (int i = 0; i < n; i++) s[3][i] = s[4][i];
-        break;
-    case CVT(A52_3F1R, A52_3F2R):
-        for (int i = 0; i < n; i++) s[4][i] = s[3][i];
-        break;
-    }
+    // same mixer programs over the 128-sample OLA region, bias 0
+    // (parse.c:925-926)
+    float* planes[6];
+    for (int c = 0; c < 6; c++) planes[c] = dl[c];
+    mix_run<FloatOps>(mix_program(acmod, output, slev == 0.0f), planes, 128,
+                      0.0f);
 }
 
 static void native_upmix(float dl[6][128], int acmod, int output)
 {
-    const int N = 128;
-    auto zero = [&](int c) { memset(dl[c], 0, N * 4); };
-    auto copy = [&](int dst, int src) { memcpy(dl[dst], dl[src], N * 4); };
-    switch (CVT(acmod, output & A52_CHANNEL_MASK)) {
-    case CVT(A52_CHANNEL, A52_CHANNEL2):
-        copy(1, 0);
-        break;
-    case CVT(A52_3F2R, A52_MONO): zero(4); [[fallthrough]];
-    case CVT(A52_3F1R, A52_MONO):
-    case CVT(A52_2F2R, A52_MONO): zero(3); [[fallthrough]];
-    case CVT(A52_3F, A52_MONO):
-    case CVT(A52_2F1R, A52_MONO): zero(2); [[fallthrough]];
-    case CVT(A52_CHANNEL, A52_MONO):
-    case CVT(A52_STEREO, A52_MONO):
-        zero(1);
-        break;
-    case CVT(A52_3F2R, A52_STEREO):
-    case CVT(A52_3F2R, A52_DOLBY): zero(4); [[fallthrough]];
-    case CVT(A52_3F1R, A52_STEREO):
-    case CVT(A52_3F1R, A52_DOLBY): zero(3); [[fallthrough]];
-    case CVT(A52_3F, A52_STEREO):
-    case CVT(A52_3F, A52_DOLBY):
-    mix_3to2:
-        copy(2, 1);
-        zero(1);
-        break;
-    case CVT(A52_2F2R, A52_STEREO):
-    case CVT(A52_2F2R, A52_DOLBY): zero(3); [[fallthrough]];
-    case CVT(A52_2F1R, A52_STEREO):
-    case CVT(A52_2F1R, A52_DOLBY):
-        zero(2);
-        break;
-    case CVT(A52_3F2R, A52_3F): zero(4); [[fallthrough]];
-    case CVT(A52_3F1R, A52_3F):
-    case CVT(A52_2F2R, A52_2F1R):
-        zero(3);
-        break;
-    case CVT(A52_3F2R, A52_3F1R):
-        zero(4);
-        break;
-    case CVT(A52_3F2R, A52_2F1R): zero(4); [[fallthrough]];
-    case CVT(A52_3F1R, A52_2F1R):
-    mix_31to21:
-        copy(3, 2);
-        goto mix_3to2;
-    case CVT(A52_3F2R, A52_2F2R):
-        copy(4, 3);
-        goto mix_31to21;
-    }
+    float* planes[6];
+    for (int c = 0; c < 6; c++) planes[c] = dl[c];
+    mix_run<FloatOps>(upmix_program(acmod, output), planes, 128, 0.0f);
 }
 
 extern "C" void ac3h_dec_get_delay(NativeDecoder* d, float* out, int* dmx) {
