@@ -74,7 +74,7 @@ def _build() -> str:
     if have != digest:
         subprocess.run(
             ["g++", "-O3", "-ffp-contract=off", "-fPIC", "-shared",
-             "-std=c++17", src, "-o", so],
+             "-std=c++17", "-pthread", src, "-o", so],
             check=True, capture_output=True, text=True)
         with open(stamp, "w") as f:
             f.write(digest)
@@ -336,3 +336,94 @@ class SampleDecoder:
         if not out_blocks:
             return np.zeros((0, 0, 256), self._np)
         return np.concatenate(out_blocks, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Dense multi-lane parse pool: the host half of the end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+def _bind_dense(lib):
+    if getattr(lib, "_dense_ready", False):
+        return
+    lib.ac3h_parse_many.restype = None
+    lib.ac3h_parse_many.argtypes = [
+        C.POINTER(C.c_void_p), C.c_int,                    # parsers, nlanes
+        C.POINTER(C.c_void_p), C.POINTER(C.c_int64),       # bufs, lens
+        C.c_int, C.c_int, C.c_float, C.c_float, C.c_int,   # maxframes flags level bias pre_planes
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,    # freq_full freq_pre blksw coeff
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,    # remat biasv valid premix_ok
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_int,       # meta consumed nframes nthreads
+    ]
+    lib._dense_ready = True
+
+
+class DenseBatchParser:
+    """N independent native stream parsers -> one batched dense-tensor call.
+
+    The whole batch is parsed in a single ctypes call (GIL released); the
+    C++ side dequantizes ((q*a)*b, identical IEEE f32 order to the device)
+    and, when a frame qualifies for the steady frequency-domain path,
+    premixes the output planes with the shared mixer byte-code.  Lanes fan
+    out over native threads.
+
+    parse() returns a dict of numpy arrays shaped [nlanes, maxframes*6, ...]
+    plus per-lane frame counts and consumed byte counts.
+    """
+
+    def __init__(self, nlanes: int, nthreads: int | None = None):
+        self.lib = get_lib()
+        _bind_dense(self.lib)
+        self._parsers = [self.lib.ac3h_new() for _ in range(nlanes)]
+        self.nlanes = nlanes
+        if nthreads is None:
+            nthreads = min(nlanes, os.cpu_count() or 1)
+        self.nthreads = nthreads
+
+    def __del__(self):
+        for p in getattr(self, "_parsers", []):
+            self.lib.ac3h_free(p)
+        self._parsers = []
+
+    def parse(self, bufs, maxframes: int, flags: int, level: float = 1.0,
+              bias: float = 0.0, pre_planes: int = 0):
+        """bufs: list of (bytes-like, offset) or bytes-like per lane."""
+        L, R = self.nlanes, maxframes * 6
+        assert len(bufs) == L
+        freq_full = np.empty((L, R, 6, 256), np.float32)
+        freq_pre = (np.empty((L, R, pre_planes, 256), np.float32)
+                    if pre_planes else None)
+        blksw = np.empty((L, R, 5), np.uint8)
+        coeff = np.empty((L, R, 5), np.float32)
+        remat = np.empty((L, R, 256), np.uint8)
+        biasv = np.empty((L, R), np.float32)
+        valid = np.empty((L, maxframes), np.uint8)
+        premix_ok = np.empty((L, maxframes), np.uint8)
+        meta = np.zeros((L, 8), np.int32)
+        consumed = np.zeros(L, np.int64)
+        nframes = np.zeros(L, np.int32)
+
+        views = []                        # keep buffer views alive
+        pbuf = (C.c_void_p * L)()
+        plen = (C.c_int64 * L)()
+        for i, b in enumerate(bufs):
+            off = 0
+            if isinstance(b, tuple):
+                b, off = b
+            v = np.frombuffer(b, np.uint8)
+            views.append(v)
+            pbuf[i] = C.c_void_p(v.ctypes.data + off)
+            plen[i] = len(b) - off
+        pp = (C.c_void_p * L)(*self._parsers)
+
+        addr = lambda a: C.c_void_p(0 if a is None else a.ctypes.data)
+        self.lib.ac3h_parse_many(
+            pp, L, pbuf, plen, maxframes, flags, level, bias, pre_planes,
+            addr(freq_full), addr(freq_pre), addr(blksw), addr(coeff),
+            addr(remat), addr(biasv), addr(valid), addr(premix_ok),
+            addr(meta), addr(consumed), addr(nframes), self.nthreads)
+        return {
+            "freq_full": freq_full, "freq_pre": freq_pre,
+            "blksw": blksw, "coeff": coeff, "remat": remat, "bias": biasv,
+            "valid": valid, "premix_ok": premix_ok, "meta": meta,
+            "consumed": consumed, "nframes": nframes,
+        }

@@ -141,13 +141,21 @@ class StreamLane:
 class BatchedDecoder:
     """N same-format streams -> batched PCM.
 
+    The host half runs on the native dense parser by default: one ctypes
+    call parses every lane (C++ threads, GIL released) and emits
+    device-ready tensors -- dequantized frequency planes, premixed output
+    planes when the chunk qualifies for the steady path.  parser="python"
+    selects the pure-Python host pass (same outputs, cross-checked in
+    tests).
+
     Per-stream failure handling follows the reference's resync strategy
     (a52dec.c:271-306): a bad frame marks the lane invalid for that frame
     (its PCM is zeroed) instead of failing the batch.
     """
 
     def __init__(self, batch: int, flags: int, level: float = 1.0,
-                 bias: float = 0.0, mesh=None, emit_int16: bool = False):
+                 bias: float = 0.0, mesh=None, emit_int16: bool = False,
+                 parser: str = "python", nthreads=None):
         from ..host.parse import A52Parser
         self.lanes = [StreamLane(parser=A52Parser()) for _ in range(batch)]
         self.flags = flags
@@ -158,9 +166,19 @@ class BatchedDecoder:
         self._fmt = None
         self._fn = None
         self._carry = init_batched_carry(batch, mesh)
+        self._parser_kind = parser
+        self._dense = None
+        self._pre_planes = None
+        if parser == "native":
+            from ..host.native import DenseBatchParser
+            self._dense = DenseBatchParser(batch, nthreads)
 
     def feed(self, lane: int, data: bytes):
-        self.lanes[lane].buf += data
+        ln = self.lanes[lane]
+        ln.buf += data
+        if ln.pos > (1 << 20):               # bounded-memory compaction
+            ln.buf = ln.buf[ln.pos:]
+            ln.pos = 0
 
     def _next_frame(self, lane: StreamLane):
         from ..host.parse import syncinfo
@@ -184,6 +202,8 @@ class BatchedDecoder:
         Returns (pcm [B, nblk, nch, 256], valid [B, nframes] bool) or None
         if no lane had a complete frame.
         """
+        if self._dense is not None:
+            return self._decode_available_native(max_frames)
         from ..models.decoder import _stack_blocks
         for lane in self.lanes:
             while len(lane.pending) < max_frames:
@@ -242,6 +262,143 @@ class BatchedDecoder:
         self._fmt = fmt
         self._carry, pcm = fn(self._carry, blocks)
         return pcm, valid
+
+    # -- native dense-parser path -------------------------------------------
+
+    def _expected_pre_planes(self):
+        """Output-plane count for the premixed steady path, derived from the
+        next frame header + requested flags.  clev/slev only affect the
+        STEREO<->DOLBY promotion, which has the same plane count, so zeros
+        suffice for the negotiation here."""
+        from ..host.parse import downmix_init, syncinfo
+        for lane in self.lanes:
+            buf, pos = lane.buf, lane.pos
+            while pos + 7 <= len(buf):
+                size, sflags, _, _ = syncinfo(buf[pos:pos + 7])
+                if size == 0:
+                    pos += 1
+                    continue
+                acmod_in = sflags & T.A52_CHANNEL_MASK
+                out, _ = downmix_init(acmod_in, self.flags, 1.0,
+                                      np.float32(0.0), np.float32(0.0))
+                if out < 0:
+                    return 0
+                nf_out = int(T.NFCHANS[out & T.A52_CHANNEL_MASK])
+                if nf_out >= int(T.NFCHANS[acmod_in]):
+                    return 0                 # no premix: not a reducing mix
+                lfe = 1 if (sflags & T.A52_LFE) and (self.flags & T.A52_LFE) \
+                    else 0
+                return nf_out + lfe
+        return None                          # no header yet; retry later
+
+    @staticmethod
+    def _frame_slice(r, lane: int, f: int) -> dict:
+        s = slice(f * 6, f * 6 + 6)
+        return {
+            "freq_full": r["freq_full"][lane, s],
+            "freq_pre": None if r["freq_pre"] is None
+            else r["freq_pre"][lane, s],
+            "blksw": r["blksw"][lane, s],
+            "coeff": r["coeff"][lane, s],
+            "remat": r["remat"][lane, s],
+            "bias": r["bias"][lane, s],
+            "valid": bool(r["valid"][lane, f]),
+            "premix_ok": bool(r["premix_ok"][lane, f]),
+            "meta": r["meta"][lane].copy() if r["meta"][lane][6] else None,
+        }
+
+    def _fmt_from_meta(self, meta):
+        if meta is not None:
+            return StreamFormat(acmod=int(meta[0]), output=int(meta[2]),
+                                slev_zero=bool(meta[5]),
+                                chanbias=int(meta[4]))
+        if self._fmt is not None:
+            return self._fmt
+        out = self.flags & T.A52_CHANNEL_MASK
+        return StreamFormat(acmod=out, output=out, slev_zero=True, chanbias=0)
+
+    def _run_native(self, fmt, valid, freq_pre, freq_full, blksw, coeff,
+                    remat, bias, premix_all):
+        blksw = np.ascontiguousarray(blksw).astype(bool)
+        bias = np.ascontiguousarray(bias)
+        if premix_all:
+            blocks = {"freq": np.ascontiguousarray(freq_pre),
+                      "blksw": blksw, "bias": bias}
+            lo = not blksw.any()
+            fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
+                                  steady=True, long_only=lo, premixed=True)
+        else:
+            blocks = {"freq": np.ascontiguousarray(freq_full),
+                      "blksw": blksw,
+                      "coeff": np.ascontiguousarray(coeff),
+                      "remat": np.ascontiguousarray(remat).astype(bool),
+                      "bias": bias}
+            steady = steady_ok(fmt, blocks)
+            lo = steady and not blksw.any()
+            fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
+                                  steady=steady, long_only=lo)
+        self._fmt = fmt
+        self._carry, pcm = fn(self._carry, blocks)
+        return pcm, valid
+
+    def _decode_available_native(self, max_frames: int):
+        if self._pre_planes is None:
+            self._pre_planes = self._expected_pre_planes()
+        pp = self._pre_planes or 0
+        had_pending = any(l.pending for l in self.lanes)
+        need = max_frames - min(len(l.pending) for l in self.lanes)
+        r = None
+        if need > 0:
+            r = self._dense.parse([(l.buf, l.pos) for l in self.lanes],
+                                  need, self.flags, self.level, self.bias,
+                                  pp)
+            for i, lane in enumerate(self.lanes):
+                lane.pos += int(r["consumed"][i])
+        if r is not None and not had_pending:
+            nfr = r["nframes"]
+            nf = int(nfr.min())
+            if nf > 0 and (nfr == nf).all():
+                # fast path: the parse output is already the batch
+                rows = nf * 6
+                meta = None
+                for i in range(len(self.lanes)):
+                    if r["meta"][i][6]:
+                        meta = r["meta"][i]
+                        break
+                fmt = self._fmt_from_meta(meta)
+                valid = r["valid"][:, :nf].astype(bool)
+                premix_all = (pp > 0 and fmt.nf_out < fmt.nfchans
+                              and bool(r["premix_ok"][:, :nf].all()))
+                return self._run_native(
+                    fmt, valid,
+                    None if r["freq_pre"] is None else r["freq_pre"][:, :rows],
+                    r["freq_full"][:, :rows], r["blksw"][:, :rows],
+                    r["coeff"][:, :rows], r["remat"][:, :rows],
+                    r["bias"][:, :rows], premix_all)
+        if r is not None:
+            for i, lane in enumerate(self.lanes):
+                for f in range(int(r["nframes"][i])):
+                    lane.pending.append(self._frame_slice(r, i, f))
+        nf = min((len(l.pending) for l in self.lanes), default=0)
+        if nf == 0:
+            return None
+        emit = [l.pending[:nf] for l in self.lanes]
+        for lane in self.lanes:
+            del lane.pending[:nf]
+        meta = next((fr["meta"] for frames in emit for fr in frames
+                     if fr["meta"] is not None), None)
+        fmt = self._fmt_from_meta(meta)
+        valid = np.array([[fr["valid"] for fr in frames] for frames in emit])
+        premix_all = (pp > 0 and fmt.nf_out < fmt.nfchans
+                      and all(fr["premix_ok"] and fr["freq_pre"] is not None
+                              for frames in emit for fr in frames))
+        cat = lambda key: np.stack(
+            [np.concatenate([fr[key] for fr in frames]) for frames in emit])
+        return self._run_native(
+            fmt, valid, cat("freq_pre") if premix_all else None,
+            None if premix_all else cat("freq_full"),
+            cat("blksw"), None if premix_all else cat("coeff"),
+            None if premix_all else cat("remat"), cat("bias"), premix_all)
 
     def parser_decode(self, lane: StreamLane, frame: bytes):
         return lane.parser.decode_frame(frame, self.flags, self.level, self.bias)

@@ -1,13 +1,23 @@
-"""Benchmark: batched 5.1 AC-3 decode throughput on one TPU chip.
+"""Benchmarks: the five BASELINE.md configs + the end-to-end decode path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "configs": {...}}
 
-Config 2 of BASELINE.json: N concurrent 5.1 streams, DRC on, downmixed to
-2.0, int16 output.  One jit call decodes a multi-frame chunk for all N
-streams; timing uses a device-side checksum fetched to the host as the
-barrier (plain block_until_ready is unreliable through the axon tunnel),
-best of 5 steady-state calls, warmed up with the identical sequence.
-vs_baseline is against the 10,000x-realtime north star.
+The headline value is config 2's device-pipeline throughput (batched
+5.1->2.0 decode, DRC on, int16 out, inputs staged on device) -- the TPU
+capability number.  The "configs" dict carries the full picture, including
+the *end-to-end* bytes-to-PCM figure (host parse + premix + H2D + device
++ D2H int16 fetch, all timed), which on this host is bound by the single
+CPU core feeding the chip; "e2e_host_parse_xrt_per_core" records the host
+parse throughput that sets that bound.
+
+Timing uses a device-side checksum fetched to the host as the barrier
+(plain block_until_ready is unreliable through the axon tunnel), best of
+N steady-state calls after identical warmup.
+
+Knobs: BENCH_BATCH (default 4096), BENCH_FRAMES (64), BENCH_CONFIGS
+(comma list, default "1,2,e2e,3,4,5"), BENCH_E2E_BATCH (256),
+BENCH_NO_PALLAS=1 to force the XLA path.
 """
 from __future__ import annotations
 
@@ -22,14 +32,73 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "tests", "golden")
+NORTH_STAR = 10000.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def golden_es(name="bench_51_448.ac3"):
+    return open(os.path.join(GOLDEN, name), "rb").read()
+
+
+def frames_of(es, n):
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.parse import syncinfo
+    out, pos = [], 0
+    while len(out) < n:
+        if pos + 7 > len(es):
+            pos = 0
+        size, _, _, _ = syncinfo(es[pos:pos + 7])
+        assert size
+        out.append(es[pos:pos + size])
+        pos += size
+    return out
+
+
+def best_of(fn, warmup=2, reps=5):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
+# ---------------------------------------------------------------------------
+# config 1: single-stream 5.1 -> 2.0 decode, bit-matching CPU mode
+# ---------------------------------------------------------------------------
+
+def bench_config1():
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import NativeDecoder
+    es = b"".join(frames_of(golden_es(), 128))
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    d = NativeDecoder()
+
+    def run():
+        out = d.decode_stream(es, flags, 1.0, 384.0)
+        assert out.shape[0] == 128 * 6
+    dt, _ = best_of(run, warmup=1, reps=3)
+    xrt = 128 * 6 * 256 / 48000.0 / dt
+    log(f"config1 single-stream CPU decode: {xrt:.0f}x realtime")
+    return round(xrt, 1)
+
+
+# ---------------------------------------------------------------------------
+# config 2: batched 5.1 decode + DRC + 2.0 downmix (device pipeline)
+# ---------------------------------------------------------------------------
 
 def load_blocks(nframes: int):
     """Real coded content from the golden 5.1 stream, tiled to nframes."""
     import ac3acm_tpu.tables as T
     from ac3acm_tpu.host.native import NativeParser
-    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tests", "golden", "bench_51_448.ac3")
-    es = open(golden, "rb").read()
+    es = golden_es()
     p = NativeParser()
     flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
     blocks, meta = p.decode_frames(es * ((nframes // 8) + 1), nframes,
@@ -38,27 +107,18 @@ def load_blocks(nframes: int):
     return blocks, meta
 
 
-def main():
+def bench_config2_device(batch, nframes):
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    import ac3acm_tpu.tables as T
-    from ac3acm_tpu.models.decoder import StreamFormat
-    from ac3acm_tpu.parallel.pipeline import batched_pipeline, init_batched_carry
-
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    nframes = int(os.environ.get("BENCH_FRAMES", "64"))
+    from ac3acm_tpu.models.decoder import (StreamFormat, premix_blocks,
+                                           steady_ok)
+    from ac3acm_tpu.parallel.pipeline import (batched_pipeline,
+                                              init_batched_carry)
     nblk = nframes * 6
-
     blocks1, meta = load_blocks(nframes)
     fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
                        slev_zero=meta["slev"] == 0.0,
                        chanbias=meta["chanbias"])
-    from ac3acm_tpu.models.decoder import premix_blocks, steady_ok
-    # scan-free fast body when the chunk qualifies (bit-identical; the
-    # golden stream is all long blocks, so the short-matrix matmul is
-    # skipped too); host premix ships only the output planes
     steady = steady_ok(fmt, blocks1)
     long_only = steady and not np.asarray(blocks1["blksw"]).any()
     premixed = steady and fmt.nf_out < fmt.nfchans
@@ -67,62 +127,233 @@ def main():
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
     if fused:
-        # Pallas fused kernel: matmul + OLA + int16 in VMEM, zd never
-        # touches HBM (ops/pallas_steady.py); same equivalence class as
-        # the XLA path vs the reference (+-1 LSB where the bias-384 grid
-        # rounds a ~1e-7 float difference across a boundary)
+        # Pallas fused kernel: matmul + OLA + int16 in VMEM (zd never
+        # touches HBM); same equivalence class as the XLA path vs the
+        # reference (+-1 LSB where the bias-384 grid rounds a ~1e-7 float
+        # difference across a boundary)
         from ac3acm_tpu.ops.pallas_steady import fused_steady
         pre = premix_blocks(fmt, blocks1)
-        freq1 = np.moveaxis(pre["freq"], -2, 0)      # plane-major [P, n, 256]
-        P = freq1.shape[0]
+        freq1 = np.moveaxis(pre["freq"], -2, 0)      # plane-major
+        Pn = freq1.shape[0]
         freq = jnp.asarray(np.broadcast_to(freq1, (batch,) + freq1.shape)
                            .copy())
         bias_d = jnp.asarray(np.broadcast_to(pre["bias"], (batch, nblk))
                              .copy())
-        d0 = jnp.zeros((batch, P, 128), jnp.float32)
+        state = {"d": jnp.zeros((batch, Pn, 128), jnp.float32)}
         fn = jax.jit(fused_steady)
 
-        for _ in range(2):
-            pcm, d0 = fn(freq, d0, bias_d)
+        def run():
+            pcm, state["d"] = fn(freq, state["d"], bias_d)
             _ = int(chk(pcm))
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            pcm, d0 = fn(freq, d0, bias_d)
-            _ = int(chk(pcm))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
     else:
         if premixed:
-            blocks1 = premix_blocks(fmt, blocks1)
+            blocks1p = premix_blocks(fmt, blocks1)
+        else:
+            blocks1p = blocks1
         blocks = jax.tree.map(
             lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape)
                                   .copy()),
-            blocks1)
+            blocks1p)
         fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
                               long_only=long_only, premixed=premixed)
-        carry = init_batched_carry(batch)
-        for _ in range(2):                   # warmup incl. the barrier
-            carry, pcm = fn(carry, blocks)
-            _ = int(chk(pcm))
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            carry, pcm = fn(carry, blocks)
-            _ = int(chk(pcm))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        state = {"c": init_batched_carry(batch)}
 
-    audio_seconds = batch * nblk * 256 / 48000.0
-    rtf = audio_seconds / dt
-    print(f"bench: {batch} streams x {nframes} frames/call, "
-          f"best {dt * 1000:.1f} ms/call (runs: "
-          f"{[round(t * 1000) for t in times]} ms)", file=sys.stderr)
+        def run():
+            state["c"], pcm = fn(state["c"], blocks)
+            _ = int(chk(pcm))
+
+    dt, times = best_of(run, warmup=2, reps=5)
+    xrt = batch * nblk * 256 / 48000.0 / dt
+    log(f"config2 device pipeline: {batch} x {nframes}f, best "
+        f"{dt * 1000:.1f} ms ({[round(t * 1000) for t in times]}), "
+        f"{xrt:.0f}x realtime")
+    return round(xrt, 1)
+
+
+# ---------------------------------------------------------------------------
+# config 2-e2e: bytes in -> int16 PCM on host, everything timed
+# ---------------------------------------------------------------------------
+
+def bench_config2_e2e(batch, chunk_frames, nchunks=4):
+    """Bytes in -> int16 PCM, everything timed: native parse + premix,
+    H2D, device pipeline, and output consumption.
+
+    Two sink modes, mirroring the reference CLI's own speed-test split:
+      * "null" -- PCM is reduced on device (a52dec -o null analogue; also
+        the transcode topology, where PCM never leaves the chip);
+      * "fetch" -- full int16 PCM pulled to the host (a52dec -o float
+        analogue).  Through the axon tunnel D2H runs at ~32 MB/s with
+        ~35 ms/call fixed cost, so this mode is transfer-bound here; on a
+        directly-attached host it would track the null number.
+    """
+    import jax
+    import jax.numpy as jnp
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.parallel.pipeline import BatchedDecoder
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    base = frames_of(golden_es(), 8)
+    total = chunk_frames * nchunks
+    # distinct per-lane byte streams: rotated frame start per lane
+    lanes = [b"".join(base[i % 8:] + base[:i % 8])
+             * ((total // 8) + 1) for i in range(min(batch, 8))]
+    lane_bytes = [lanes[i % 8][: total * len(base[0]) + 7]
+                  for i in range(batch)]
+    chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+
+    def cycle(fetch):
+        dec = BatchedDecoder(batch, flags, bias=384.0, emit_int16=True,
+                             parser="native")
+        for i in range(batch):
+            dec.feed(i, lane_bytes[i])
+        prev = None
+        nfr = 0
+        for _ in range(nchunks):
+            r = dec.decode_available(max_frames=chunk_frames)
+            if prev is not None:
+                # consume the previous chunk's PCM (device work overlaps
+                # with this chunk's host parse)
+                _ = np.asarray(prev[0]) if fetch else int(chk(prev[0]))
+            if r is None:
+                break
+            nfr += r[1].shape[1]
+            prev = r
+        if prev is not None:
+            _ = np.asarray(prev[0]) if fetch else int(chk(prev[0]))
+        return nfr
+
+    out = {}
+    for mode, fetch in (("null", False), ("fetch", True)):
+        n = cycle(fetch)                      # warmup incl. compile
+        t0 = time.perf_counter()
+        n = cycle(fetch)
+        dt = time.perf_counter() - t0
+        xrt = batch * n * 6 * 256 / 48000.0 / dt
+        log(f"config2 e2e bytes->PCM [{mode} sink]: {batch} lanes x {n} "
+            f"frames in {dt * 1000:.0f} ms -> {xrt:.0f}x realtime")
+        out[mode] = round(xrt, 1)
+    return out
+
+
+def bench_host_parse():
+    """Host-side parse+premix throughput per core (the e2e bound)."""
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import DenseBatchParser
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    big = golden_es() * 16
+    L, F = 8, 12
+    d = DenseBatchParser(L, nthreads=1)
+    d.parse([big] * L, F, flags, 1.0, 384.0, pre_planes=2)
+    d2 = DenseBatchParser(L, nthreads=1)
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        d2.parse([big] * L, F, flags, 1.0, 384.0, pre_planes=2)
+    dt = time.perf_counter() - t0
+    xrt = (L * F * reps * 0.032) / dt
+    log(f"host parse+premix: {dt / (L * F * reps) * 1e6:.1f} us/frame "
+        f"({xrt:.0f}x realtime/core)")
+    return round(xrt, 1)
+
+
+# ---------------------------------------------------------------------------
+# configs 3/4: batched encode (device + threaded host pack, all timed)
+# ---------------------------------------------------------------------------
+
+def _encode_pcm(channels: int, nframes: int):
+    """Deterministic PCM content: decoded golden audio tiled per channel."""
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import NativeDecoder
+    d = NativeDecoder()
+    out = d.decode_stream(b"".join(frames_of(golden_es(), 16)),
+                          T.A52_STEREO | T.A52_ADJUST_LEVEL, 1.0, 384.0)
+    pcm = np.clip(np.round(out - 384.0) * 32768.0 / 2, -20000, 20000)
+    flat = pcm.transpose(0, 2, 1).reshape(-1, 2)       # interleave blocks
+    need = nframes * 1536
+    reps = need // flat.shape[0] + 1
+    flat = np.tile(flat, (reps, 1))[:need]
+    chans = [flat[:, i % 2] * (1.0 - 0.05 * i) for i in range(channels)]
+    return np.stack(chans, -1).astype(np.int16)
+
+
+def bench_encode(batch, nframes, bitrate, channels, label):
+    from ac3acm_tpu.parallel.encode import BatchedEncoder
+    pcm = _encode_pcm(channels, nframes)
+    pcm_b = np.broadcast_to(pcm, (batch,) + pcm.shape).copy()
+    enc = BatchedEncoder(batch, 48000, bitrate * 1000, channels)
+
+    def run():
+        out = enc.encode_frames(pcm_b)
+        assert len(out) == batch and len(out[0]) > 0
+    dt, times = best_of(run, warmup=1, reps=3)
+    xrt = batch * nframes * 1536 / 48000.0 / dt
+    log(f"{label}: {batch} x {nframes}f, best {dt * 1000:.0f} ms "
+        f"({[round(t * 1000) for t in times]}), {xrt:.0f}x realtime")
+    return round(xrt, 1)
+
+
+# ---------------------------------------------------------------------------
+# config 5: transcode 5.1 448k -> 2.0 192k, bytes -> bytes
+# ---------------------------------------------------------------------------
+
+def bench_config5(batch, nframes):
+    from ac3acm_tpu.parallel.transcode import Transcoder
+    fb = frames_of(golden_es(), nframes)
+    data = [b"".join(fb)] * batch
+    tc = Transcoder(batch, 192000, 2)
+
+    def run():
+        out = tc.step_frames(data, nframes)
+        assert len(out) == batch and out[0][:2] == b"\x0b\x77"
+    dt, times = best_of(run, warmup=1, reps=3)
+    xrt = batch * nframes * 1536 / 48000.0 / dt
+    log(f"config5 transcode bytes->bytes: {batch} x {nframes}f, best "
+        f"{dt * 1000:.0f} ms, {xrt:.0f}x realtime")
+    return round(xrt, 1)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    nframes = int(os.environ.get("BENCH_FRAMES", "64"))
+    e2e_batch = int(os.environ.get("BENCH_E2E_BATCH", "256"))
+    which = os.environ.get("BENCH_CONFIGS", "1,2,e2e,3,4,5").split(",")
+    if len(sys.argv) > 1 and sys.argv[1] == "--e2e":
+        which = ["e2e"]
+
+    configs = {}
+    if "1" in which:
+        configs["c1_single_stream_cpu_xrt"] = bench_config1()
+    if "2" in which:
+        configs["c2_batched_decode_device_xrt"] = \
+            bench_config2_device(batch, nframes)
+    if "e2e" in which:
+        e2e = bench_config2_e2e(e2e_batch, 24)
+        configs["c2_e2e_bytes_to_pcm_null_sink_xrt"] = e2e["null"]
+        configs["c2_e2e_bytes_to_pcm_fetch_xrt"] = e2e["fetch"]
+        configs["e2e_host_parse_xrt_per_core"] = bench_host_parse()
+        configs["host_cores"] = os.cpu_count()
+    if "3" in which:
+        configs["c3_stereo_encode_192k_xrt"] = \
+            bench_encode(256, 16, 192, 2, "config3 stereo encode")
+    if "4" in which:
+        configs["c4_51_encode_640k_xrt"] = \
+            bench_encode(256, 8, 640, 6, "config4 5.1 encode")
+    if "5" in which:
+        configs["c5_transcode_1024_xrt"] = bench_config5(1024, 4)
+
+    headline = configs.get("c2_batched_decode_device_xrt")
+    if headline is None:
+        headline = next(iter(configs.values()))
     print(json.dumps({
-        "metric": "batched 5.1->2.0 decode realtime factor per chip (device pipeline)",
-        "value": round(rtf, 1),
+        "metric": "batched 5.1->2.0 decode realtime factor per chip "
+                  "(device pipeline)",
+        "value": headline,
         "unit": "x_realtime",
-        "vs_baseline": round(rtf / 10000.0, 4),
+        "vs_baseline": round(headline / NORTH_STAR, 4),
+        "configs": configs,
     }))
 
 

@@ -113,15 +113,27 @@ extern "C" void ac3h_init(
 
 struct BitReader {
     const uint8_t* buf;
-    int64_t pos;          // bit position
+    int64_t pos;                      // bit position
+    int64_t len = INT64_MAX;          // buffer length in bytes (clamps reads)
 
     inline uint32_t read(int n) {
-        uint32_t acc = 0;
         int64_t p = pos;
         pos += n;
-        int byte0 = (int)(p >> 3);
+        int64_t byte0 = p >> 3;
+        if (byte0 + 8 <= len) {       // fast path: one unaligned 64-bit load
+            uint64_t w;
+            memcpy(&w, buf + byte0, 8);
+            w = __builtin_bswap64(w);
+            return (uint32_t)((w << (p & 7)) >> (64 - n));
+        }
+        // tail path: byte loop; bytes past the buffer read as zero (corrupt
+        // frames whose side-info overruns the frame are rejected upstream)
+        uint32_t acc = 0;
         int nbytes = (int)(((p & 7) + n + 7) >> 3);
-        for (int i = 0; i < nbytes; i++) acc = (acc << 8) | buf[byte0 + i];
+        for (int i = 0; i < nbytes; i++) {
+            uint8_t b = (byte0 + i < len) ? buf[byte0 + i] : 0;
+            acc = (acc << 8) | b;
+        }
         acc >>= (8 * nbytes - (p & 7) - n);
         return n >= 32 ? acc : (acc & ((1u << n) - 1));
     }
@@ -567,7 +579,30 @@ struct QuantSet {
     int q1_ptr, q2_ptr, q4_ptr;
 };
 
-static void coeff_get(Parser* s, BitReader& br, float* q, float* a, float* b,
+// Coefficient sinks: the mantissa walk emits (value, factor, multiplier)
+// triples; QabSink stores the factorization for the device pipeline's
+// (q*a)*b dequant, FreqSink performs the identical IEEE f32 dequant
+// in place (used by the dense end-to-end path to halve memory traffic).
+struct QabSink {
+    FrameOut* fo;
+    inline void put(int blk, int ch, int i, float v, float fac, float mul) {
+        fo->q[blk][ch][i] = v;
+        fo->a[blk][ch][i] = fac;
+        fo->b[blk][ch][i] = mul;
+    }
+};
+struct FreqSink {
+    float* base;                     // [6 blocks][6 ch][256]
+    inline void put(int blk, int ch, int i, float v, float fac, float mul) {
+        base[((int64_t)blk * 6 + ch) * 256 + i] = (v * fac) * mul;
+    }
+};
+struct DropSink {
+    inline void put(int, int, int, float, float, float) {}
+};
+
+template <class SINK>
+static void coeff_get(Parser* s, BitReader& br, SINK& sink, int blk, int ch,
                       const uint8_t* exp, const int8_t* bap, float level,
                       int dither, int end, QuantSet& qs)
 {
@@ -578,11 +613,8 @@ static void coeff_get(Parser* s, BitReader& br, float* q, float* a, float* b,
         float v;
         switch (bp) {
         case 0:
-            if (dither) {
-                q[i] = dither_gen(s);
-                a[i] = factor[exp[i]];
-                b[i] = 1.0f;
-            }
+            if (dither)
+                sink.put(blk, ch, i, dither_gen(s), factor[exp[i]], 1.0f);
             continue;
         case 1:
             if (qs.q1_ptr >= 0) v = qs.q1[qs.q1_ptr--];
@@ -620,13 +652,12 @@ static void coeff_get(Parser* s, BitReader& br, float* q, float* a, float* b,
             v = (float)(br.read_signed(nbits) << (16 - nbits));
         }
         }
-        q[i] = v;
-        a[i] = factor[exp[i]];
-        b[i] = 1.0f;
+        sink.put(blk, ch, i, v, factor[exp[i]], 1.0f);
     }
 }
 
-static void coeff_get_coupling(Parser* s, BitReader& br, FrameOut* out,
+template <class SINK>
+static void coeff_get_coupling(Parser* s, BitReader& br, SINK& sink,
                                int blk, int nfchans, const float* coeff,
                                const uint8_t* dithflag, QuantSet& qs)
 {
@@ -648,11 +679,9 @@ static void coeff_get_coupling(Parser* s, BitReader& br, FrameOut* out,
             float v;
             if (bp == 0) {
                 for (int ch = 0; ch < nfchans; ch++)
-                    if ((s->chincpl >> ch) & 1 && dithflag[ch]) {
-                        out->q[blk][ch][i] = dither_gen(s);
-                        out->a[blk][ch][i] = g_scale[exp[i]] * cplco[ch];
-                        out->b[blk][ch][i] = 1.0f;
-                    }
+                    if ((s->chincpl >> ch) & 1 && dithflag[ch])
+                        sink.put(blk, ch, i, dither_gen(s),
+                                 g_scale[exp[i]] * cplco[ch], 1.0f);
                 continue;
             }
             switch (bp) {
@@ -693,11 +722,8 @@ static void coeff_get_coupling(Parser* s, BitReader& br, FrameOut* out,
             }
             }
             for (int ch = 0; ch < nfchans; ch++)
-                if ((s->chincpl >> ch) & 1) {
-                    out->q[blk][ch][i] = v;
-                    out->a[blk][ch][i] = g_scale[exp[i]];
-                    out->b[blk][ch][i] = cplco[ch];
-                }
+                if ((s->chincpl >> ch) & 1)
+                    sink.put(blk, ch, i, v, g_scale[exp[i]], cplco[ch]);
         }
     }
 }
@@ -745,7 +771,9 @@ static int zero_snr_offsets(Parser* s, int nfchans) {
     return 1;
 }
 
-static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk)
+template <class SINK>
+static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
+                       SINK& sink)
 {
     int nfchans = NFCHANS_TBL[s->acmod];
     uint8_t blksw[5] = {0}, dithflag[5] = {0};
@@ -944,12 +972,12 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk)
     qs.q1_ptr = qs.q2_ptr = qs.q4_ptr = -1;
     int done_cpl = 0;
     for (int i = 0; i < nfchans; i++) {
-        coeff_get(s, br, out->q[blk][i], out->a[blk][i], out->b[blk][i],
-                  s->fbw_exp[i], s->fbw_bap[i], coeff[i], dithflag[i],
-                  s->endmant[i], qs);
+        coeff_get(s, br, sink, blk, i, s->fbw_exp[i], s->fbw_bap[i],
+                  coeff[i], dithflag[i], s->endmant[i], qs);
         if ((s->chincpl >> i) & 1 && !done_cpl) {
             done_cpl = 1;
-            coeff_get_coupling(s, br, out, blk, nfchans, coeff, dithflag, qs);
+            coeff_get_coupling(s, br, sink, blk, nfchans, coeff, dithflag,
+                               qs);
         }
     }
 
@@ -974,11 +1002,10 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk)
         memcpy(e, s->lfe_exp, 7);
         memcpy(bp, s->lfe_bap, 7);
         if (s->output & A52_LFE)
-            coeff_get(s, br, out->q[blk][5], out->a[blk][5], out->b[blk][5],
-                      e, bp, s->dynrng, 0, 7, qs);
+            coeff_get(s, br, sink, blk, 5, e, bp, s->dynrng, 0, 7, qs);
         else {
-            float scratch[256];
-            coeff_get(s, br, scratch, scratch, scratch, e, bp, 0.0f, 0, 7, qs);
+            DropSink drop;
+            coeff_get(s, br, drop, blk, 5, e, bp, 0.0f, 0, 7, qs);
         }
     }
     return 0;
@@ -1012,15 +1039,13 @@ extern "C" int ac3h_syncinfo(const uint8_t* buf, int* flags,
     return 0;
 }
 
-extern "C" int ac3h_frame(Parser* s, const uint8_t* buf, int flags,
-                          float level, float bias, FrameOut* out)
+template <class SINK>
+static int ac3h_frame_t(Parser* s, const uint8_t* buf, int flags,
+                        float level, float bias, FrameOut* out, SINK& sink)
 {
     static const double CLEV[4] = {LEVEL_3DB_D, LEVEL_45DB_D, 0.5, LEVEL_45DB_D};
     static const double SLEV[4] = {LEVEL_3DB_D, 0.5, 0.0, 0.5};
 
-    memset(out->q, 0, sizeof(out->q));
-    memset(out->a, 0, sizeof(out->a));
-    memset(out->b, 0, sizeof(out->b));
     memset(out->remat, 0, sizeof(out->remat));
     memset(out->blksw, 0, sizeof(out->blksw));
     memset(out->coeff, 0, sizeof(out->coeff));
@@ -1029,7 +1054,11 @@ extern "C" int ac3h_frame(Parser* s, const uint8_t* buf, int flags,
     s->halfrate = HALFRATE_TBL[buf[5] >> 3];
     s->acmod = buf[6] >> 5;
     int acmod = s->acmod;
-    BitReader br{buf, 6 * 8};
+    // clamp bit reads to the frame (size from the header; callers always
+    // syncinfo-gate, so a valid header is present)
+    int fl_, sr_, brate_;
+    int fsize = ac3h_syncinfo(buf, &fl_, &sr_, &brate_);
+    BitReader br{buf, 6 * 8, fsize > 0 ? fsize : 7};
     br.skip(3);
     if (acmod == 2 && br.read(2) == 2) acmod = A52_DOLBY;
     s->clev = 0;
@@ -1071,9 +1100,19 @@ extern "C" int ac3h_frame(Parser* s, const uint8_t* buf, int flags,
     out->bias = bias;
 
     for (int blk = 0; blk < 6; blk++)
-        if (parse_block(s, br, out, blk))
+        if (parse_block(s, br, out, blk, sink))
             return 2 + blk;
     return 0;
+}
+
+extern "C" int ac3h_frame(Parser* s, const uint8_t* buf, int flags,
+                          float level, float bias, FrameOut* out)
+{
+    memset(out->q, 0, sizeof(out->q));
+    memset(out->a, 0, sizeof(out->a));
+    memset(out->b, 0, sizeof(out->b));
+    QabSink sink{out};
+    return ac3h_frame_t(s, buf, flags, level, bias, out, sink);
 }
 
 // parse a run of consecutive frames (one stream) into an array of FrameOut
@@ -1361,6 +1400,190 @@ static void native_upmix(float dl[6][128], int acmod, int output)
 extern "C" void ac3h_dec_get_delay(NativeDecoder* d, float* out, int* dmx) {
     memcpy(out, d->delay, sizeof(d->delay));
     *dmx = d->downmixed;
+}
+
+// ===========================================================================
+// Dense multi-lane parse: the host half of the end-to-end TPU pipeline.
+//
+// One call per batch: N independent stream parsers consume their byte
+// buffers and emit device-ready tensors -- dequantized frequency planes
+// ((q*a)*b in the same IEEE f32 order the Python host pass uses), side
+// flags, and (when the frame qualifies for the steady frequency-domain
+// path) host-premixed output planes computed with the shared mixer
+// byte-code, so the device sees only nf_out(+LFE) planes.  Lanes fan out
+// over std::threads; the Python caller releases the GIL for the whole
+// batch (ctypes).
+// ===========================================================================
+
+#include <atomic>
+#include <thread>
+
+// rows are blocks: row = frame * 6 + blk
+struct DenseStride {
+    int64_t full;      // floats per lane in freq_full
+    int64_t pre;       // floats per lane in freq_pre
+    int64_t rows;      // maxframes * 6
+};
+
+extern "C" int ac3h_parse_dense(
+    Parser* s, const uint8_t* buf, int64_t buflen, int maxframes,
+    int flags, float level, float bias, int pre_planes,
+    float* freq_full,        // [maxframes*6, 6, 256]
+    float* freq_pre,         // [maxframes*6, pre_planes, 256] or null
+    uint8_t* blksw,          // [maxframes*6, 5]
+    float* coeff,            // [maxframes*6, 5]
+    uint8_t* remat,          // [maxframes*6, 256]
+    float* biasv,            // [maxframes*6]
+    uint8_t* valid,          // [maxframes]
+    uint8_t* premix_ok,      // [maxframes]
+    int32_t* meta,           // [8]: acmod lfeon output nfchans chanbias
+                             //      slev_zero have_meta reserved
+    int64_t* consumed)
+{
+    static thread_local FrameOut fo;
+    imdct_init_native();
+    int64_t pos = 0;
+    int done = 0;
+    int fl, sr, brr;
+    bool have_meta = false;
+    while (done < maxframes && pos + 7 <= buflen) {
+        int size = ac3h_syncinfo(buf + pos, &fl, &sr, &brr);
+        if (size == 0) { pos++; continue; }
+        if (pos + size > buflen) break;
+        int64_t row0 = (int64_t)done * 6;
+        float* ff0 = freq_full + row0 * 6 * 256;
+        memset(ff0, 0, 6 * 6 * 256 * 4);
+        FreqSink sink{ff0};          // dequant in place, no (q,a,b) staging
+        int r = ac3h_frame_t(s, buf + pos, flags, level, bias, &fo, sink);
+        pos += size;
+        if (r != 0) {
+            // malformed side-info: masked lane-frame, zeroed tensors
+            // (a52dec.c:302-306 resync semantics over a batch)
+            memset(ff0, 0, 6 * 6 * 256 * 4);
+            if (freq_pre)
+                memset(freq_pre + row0 * pre_planes * 256, 0,
+                       (size_t)(6 * pre_planes * 256) * 4);
+            memset(blksw + row0 * 5, 0, 30);
+            memset(coeff + row0 * 5, 0, 120);
+            memset(remat + row0 * 256, 0, 6 * 256);
+            for (int b = 0; b < 6; b++) biasv[row0 + b] = bias;
+            valid[done] = 0;
+            premix_ok[done] = 1;     // zeros are valid in either layout
+            done++;
+            continue;
+        }
+        int nf = fo.nfchans;
+        int nf_out = NFCHANS_TBL[fo.output & A52_CHANNEL_MASK];
+        int lfe = (fo.output & A52_LFE) ? 1 : 0;
+        bool slev_zero = fo.slev == 0.0f;
+        bool reduces = nf_out < nf;
+        bool pre_eligible = reduces && freq_pre
+                            && pre_planes == nf_out + lfe;
+        for (int b = 0; b < 6; b++) {
+            int64_t row = row0 + b;
+            memcpy(blksw + row * 5, fo.blksw[b], 5);
+            memcpy(coeff + row * 5, fo.coeff[b], 20);
+            memcpy(remat + row * 256, fo.remat[b], 256);
+            biasv[row] = fo.bias;
+            for (int ch = 1; ch < nf; ch++)
+                if (fo.blksw[b][ch] != fo.blksw[b][0]) pre_eligible = false;
+        }
+        if (pre_eligible) {
+            const uint8_t* prog =
+                mix_program(fo.acmod, fo.output, slev_zero);
+            for (int b = 0; b < 6; b++) {
+                int64_t row = row0 + b;
+                const float* ff = freq_full + row * 6 * 256;
+                float* fp = freq_pre + row * pre_planes * 256;
+                // mix in place over the output planes; planes >= nf_out are
+                // read-only views of the full tensor (the mixer programs
+                // only write planes < nf_out; stereo rematrix additionally
+                // writes plane 1, which needs scratch when not kept)
+                float scratch[256];
+                float* planes[6];
+                for (int ch = 0; ch < 5; ch++)
+                    planes[ch] = ch < nf_out ? fp + ch * 256
+                                             : (float*)(ff + ch * 256);
+                if (fo.acmod == A52_STEREO && nf_out < 2)
+                    planes[1] = scratch;
+                for (int ch = 0; ch < nf_out; ch++)
+                    memcpy(planes[ch], ff + ch * 256, 1024);
+                if (fo.acmod == A52_STEREO) {
+                    if (nf_out < 2) memcpy(scratch, ff + 256, 1024);
+                    const uint8_t* m = fo.remat[b];
+                    for (int i = 0; i < 256; i++)
+                        if (m[i]) {
+                            float t0 = planes[0][i], t1 = planes[1][i];
+                            planes[0][i] = t0 + t1;
+                            planes[1][i] = t0 - t1;
+                        }
+                }
+                mix_run<FloatOps>(prog, planes, 256, 0.0f);
+                if (lfe)                         // LFE plane comes last
+                    memcpy(fp + nf_out * 256, ff + 5 * 256, 1024);
+            }
+        }
+        valid[done] = 1;
+        premix_ok[done] = pre_eligible ? 1 : 0;
+        if (!have_meta) {
+            meta[0] = fo.acmod;
+            meta[1] = fo.lfeon;
+            meta[2] = fo.output;
+            meta[3] = fo.nfchans;
+            meta[4] = fo.chanbias;
+            meta[5] = slev_zero ? 1 : 0;
+            meta[6] = 1;
+            have_meta = true;
+        }
+        done++;
+    }
+    if (!have_meta) meta[6] = 0;
+    *consumed = pos;
+    return done;
+}
+
+extern "C" void ac3h_parse_many(
+    void* const* parsers, int nlanes,
+    const uint8_t* const* bufs, const int64_t* lens, int maxframes,
+    int flags, float level, float bias, int pre_planes,
+    float* freq_full, float* freq_pre, uint8_t* blksw, float* coeff,
+    uint8_t* remat, float* biasv, uint8_t* valid, uint8_t* premix_ok,
+    int32_t* meta, int64_t* consumed, int32_t* nframes, int nthreads)
+{
+    const int64_t rows = (int64_t)maxframes * 6;
+    auto work = [&](int l) {
+        nframes[l] = ac3h_parse_dense(
+            (Parser*)parsers[l], bufs[l], lens[l], maxframes, flags, level,
+            bias, pre_planes,
+            freq_full + (int64_t)l * rows * 6 * 256,
+            freq_pre ? freq_pre + (int64_t)l * rows * pre_planes * 256
+                     : nullptr,
+            blksw + (int64_t)l * rows * 5,
+            coeff + (int64_t)l * rows * 5,
+            remat + (int64_t)l * rows * 256,
+            biasv + (int64_t)l * rows,
+            valid + (int64_t)l * maxframes,
+            premix_ok + (int64_t)l * maxframes,
+            meta + (int64_t)l * 8,
+            consumed + l);
+    };
+    if (nthreads <= 1 || nlanes <= 1) {
+        for (int l = 0; l < nlanes; l++) work(l);
+        return;
+    }
+    std::atomic<int> next{0};
+    int nt = nthreads < nlanes ? nthreads : nlanes;
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; t++)
+        pool.emplace_back([&]() {
+            for (;;) {
+                int l = next.fetch_add(1);
+                if (l >= nlanes) return;
+                work(l);
+            }
+        });
+    for (auto& th : pool) th.join();
 }
 
 // sample-type variants (LIBA52_FIXED / LIBA52_DOUBLE semantics): templated
