@@ -14,6 +14,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compile cache: CPU scan pipelines take ~1 min each to compile
 import jax  # noqa: E402
 
+# a site hook may have force-registered a TPU backend before this conftest
+# ran (env JAX_PLATFORMS is consumed at interpreter start); the config knob
+# still wins because backend *initialization* is lazy
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

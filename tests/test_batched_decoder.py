@@ -29,6 +29,19 @@ def _frames(es, n):
     return out
 
 
+def _assert_pcm_equal(got, ref):
+    """Lane PCM vs a different-batch-shape decode of the same bytes.
+
+    XLA:CPU blocks the f32 filterbank matmul differently per batch shape,
+    so a batch-N lane and the batch-1 reference may differ by the
+    reassociation error of the 256-term contraction (~1e-7 absolute at
+    unit level).  On the TPU MXU the tiling is shape-independent and the
+    comparison is bitwise; same-shape comparisons stay bitwise everywhere
+    (see test_native_parser_matches_python).
+    """
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
 def _reference_lane(frames, flags, nblk=None):
     """Single-stream decode of the same frames through the same pipeline."""
     from ac3acm_tpu.parallel.pipeline import BatchedDecoder
@@ -70,7 +83,7 @@ def test_uneven_feeds_do_not_drop_frames():
     for lane in range(2):
         got = np.concatenate(
             [np.asarray(pcm1)[lane], np.asarray(pcm2)[lane]], axis=0)
-        np.testing.assert_array_equal(got, ref)
+        _assert_pcm_equal(got, ref)
 
 
 def test_batched_lanes_match_single_stream():
@@ -87,7 +100,7 @@ def test_batched_lanes_match_single_stream():
     pcm, valid = d.decode_available(max_frames=4)
     assert valid.all()
     for lane in range(4):
-        np.testing.assert_array_equal(np.asarray(pcm)[lane], ref)
+        _assert_pcm_equal(np.asarray(pcm)[lane], ref)
 
 
 @pytest.mark.parametrize("nlanes,uneven", [(2, False), (3, True)])
