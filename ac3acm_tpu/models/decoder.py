@@ -53,11 +53,13 @@ class StreamFormat:
         return self.nf_out + (1 if self.lfe_out else 0)
 
 
-def _block_step(fmt: StreamFormat, carry, blk):
+def _block_step(fmt: StreamFormat, carry, blk, filterbank=filterbank):
     """One a52_block worth of device math.  carry = (delay [6,128], downmixed).
 
     blk: dict with q,a,b [6,256]; blksw [5] bool; coeff [5]; remat [256] bool;
-    bias scalar.
+    bias scalar.  `filterbank` may be swapped for the order-exact variant
+    (ops.imdct_exact.filterbank_exact) to reproduce the reference's float
+    output bit-for-bit.
     """
     delay, downmixed = carry
     nf = fmt.nfchans
@@ -373,12 +375,27 @@ def steady_pipeline(fmt: StreamFormat, long_only: bool = False,
 
 
 @lru_cache(maxsize=64)
-def block_pipeline(fmt: StreamFormat):
+def block_pipeline(fmt: StreamFormat, exact: bool = False):
     """jitted (carry, blocks) -> (carry, pcm [nblk, nch_out, 256]).
 
     blocks: pytree of stacked per-block tensors with leading nblk axis.
     Batched variants vmap this over a leading stream axis.
+
+    exact=True scans _block_step with the order-exact IMDCT
+    (ops.imdct_exact) instead of the hoisted MXU matmul: the float output
+    then replays the reference's operation order bit-for-bit on any
+    backend (the matmul path is within a few f32 ulps, but which side of
+    the compare.c threshold a given XLA:CPU codegen lands on is
+    machine-dependent).
     """
+    if exact:
+        from ..ops.imdct_exact import filterbank_exact
+
+        def run(carry, blocks):
+            step = partial(_block_step, fmt, filterbank=filterbank_exact)
+            return jax.lax.scan(step, carry, blocks)
+
+        return jax.jit(run)
     return jax.jit(partial(_pipeline_body, fmt))
 
 
@@ -409,10 +426,11 @@ class Decoder:
     ...                  level=1.0, bias=0.0)      # float32 [n, nch, 256]
     """
 
-    def __init__(self):
+    def __init__(self, exact: bool = False):
         self.parser = P.A52Parser()
         self._carry = None
         self._fmt = None
+        self._exact = exact
 
     def syncinfo(self, buf: bytes):
         return P.syncinfo(buf)
@@ -447,7 +465,8 @@ class Decoder:
                 self._carry = init_carry()
             self._fmt = fmt
             blocks = _stack_blocks([f])
-            self._carry, pcm = block_pipeline(fmt)(self._carry, blocks)
+            self._carry, pcm = block_pipeline(fmt, exact=self._exact)(
+                self._carry, blocks)
             outs.append(np.asarray(pcm))
         return np.concatenate(outs, axis=0), fmt
 

