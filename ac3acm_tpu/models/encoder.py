@@ -435,8 +435,6 @@ class Encoder:
                 raise RuntimeError("rate control failed (frame too small)")
             self.last = res["new_last"][-1]
             self.csnroffst = res["new_csnr"][-1]
-            for fi in range(f):
-                out += PK.pack_frame(
-                    self.cfg, {k: v[fi] for k, v in res.items()}, 0)
+            out += b"".join(PK.pack_frames_native(self.cfg, res))
             i += f
         return bytes(out)

@@ -1,13 +1,14 @@
 """Batched multi-stream encode: N streams x one frame per device step.
 
 The encoder device pipeline (models.encoder.encode_pipeline) is natively
-batched; this wrapper manages per-stream carries, shards the batch over the
-mesh 'data' axis, and fans the host bit-packing out over threads (the only
-serial-per-stream stage).
+batched; this wrapper manages per-stream carries and shards the batch over
+the mesh 'data' axis.  Bit packing -- the reference's only serial-per-frame
+stage (ac3enc.cpp:1194-1638) -- runs on device by default
+(ops.pack_device: finished frames leave the chip as bytes, ~20x less
+device->host traffic than the dense fields), with the threaded native C++
+packer (native/ac3host.cpp:ac3h_pack_frames) as the host alternative.
 """
 from __future__ import annotations
-
-from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -17,13 +18,18 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..host import pack as PK
 from ..models.encoder import (encode_pipeline,
                               encode_pipeline_multi, make_config)
+from ..ops.pack_device import pack_frames_device
 
 
 class BatchedEncoder:
-    """N same-format PCM streams -> N AC-3 streams."""
+    """N same-format PCM streams -> N AC-3 streams.
+
+    pack: "device" (default) assembles frames on device; "native" fetches
+    the dense fields and packs them in C++ threads.  Byte-identical.
+    """
 
     def __init__(self, batch: int, freq: int, bitrate: int, channels: int,
-                 mesh=None, pack_threads: int = 8):
+                 mesh=None, pack: str = "device"):
         self.batch = batch
         self.cfg = make_config(freq, bitrate, channels)
         self.mesh = mesh
@@ -34,40 +40,50 @@ class BatchedEncoder:
                                in_shardings=(shard, shard, shard))
         self.last = jnp.zeros((batch, channels, 256), jnp.int32)
         self.csnr = jnp.full((batch,), 40, jnp.int32)
-        self._pool = ThreadPoolExecutor(pack_threads)
+        assert pack in ("device", "native")
+        self._pack_fn = pack_frames_device(self.cfg) if pack == "device" \
+            else None
+
+    def _pack(self, res, nframes_leading: int | None = None) -> list[bytes]:
+        """res fields either [B, ...] or [F, B, ...]; flat C-order list."""
+        if self._pack_fn is not None:
+            fr = np.asarray(self._pack_fn(
+                res["bap"], res["qmant"], res["enc_exp"], res["strat"],
+                res["csnroffst"], res["fsnroffst"]))
+            fr = fr.reshape(-1, fr.shape[-1])
+            return [fr[i].tobytes() for i in range(fr.shape[0])]
+        res_h = {k: np.asarray(v) for k, v in res.items()}
+        return PK.pack_frames_native(self.cfg, res_h)
 
     def encode_step(self, pcm: np.ndarray) -> list[bytes]:
         """pcm int16 [batch, 1536, nch] (AC-3 channel order) -> frames."""
         res = self._fn(jnp.asarray(pcm, jnp.int32), self.last, self.csnr)
-        res = {k: np.asarray(v) for k, v in res.items()}
-        if not res["ok"].all():
-            bad = np.nonzero(~res["ok"])[0]
+        ok = np.asarray(res["ok"])
+        if not ok.all():
+            bad = np.nonzero(~ok)[0]
             raise RuntimeError(f"rate control failed for streams {bad[:8]}")
-        self.last = jnp.asarray(res["new_last"])
-        self.csnr = jnp.asarray(res["new_csnr"])
-        return list(self._pool.map(
-            lambda b: PK.pack_frame(self.cfg, res, b), range(self.batch)))
+        self.last = res["new_last"]
+        self.csnr = res["new_csnr"]
+        return self._pack(res)
 
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
         """Multi-frame step: pcm int16 [batch, F*1536, nch] -> concatenated
         AC-3 bytes per stream.  One device dispatch for all F frames
         (lax.scan carries last_samples/csnroffst; bit-identical to F
-        encode_step calls, ~2x the aggregate throughput)."""
+        encode_step calls)."""
         B, n, nch = pcm.shape
         F = n // 1536
         frames = np.asarray(pcm, np.int32).reshape(B, F, 1536, nch)
         frames = np.moveaxis(frames, 1, 0)               # [F, B, 1536, nch]
         fn = encode_pipeline_multi(self.cfg)
         (last, csnr), outs = fn(jnp.asarray(frames), self.last, self.csnr)
-        outs = {k: np.asarray(v) for k, v in outs.items()}
-        if not outs["ok"].all():
-            bad = np.argwhere(~outs["ok"])
+        ok = np.asarray(outs["ok"])
+        if not ok.all():
+            bad = np.argwhere(~ok)
             raise RuntimeError(f"rate control failed at (frame,stream) "
                                f"{bad[:8].tolist()}")
         self.last, self.csnr = last, csnr
-
-        def pack_stream(b):
-            return b"".join(
-                PK.pack_frame(self.cfg, {k: v[f] for k, v in outs.items()}, b)
-                for f in range(F))
-        return list(self._pool.map(pack_stream, range(self.batch)))
+        # [F, B] flattens C-order: frame f of stream b at index f*B + b
+        flat = self._pack(outs)
+        return [b"".join(flat[f * B + b] for f in range(F))
+                for b in range(self.batch)]

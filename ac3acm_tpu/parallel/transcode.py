@@ -89,9 +89,10 @@ class Transcoder:
     """N same-format streams: AC-3 in -> AC-3 out (re-encode at new rate)."""
 
     def __init__(self, batch: int, out_bitrate: int, out_channels: int,
-                 sample_rate: int = 48000, mesh=None):
+                 sample_rate: int = 48000, mesh=None, pack: str = "device"):
         from ..host.native import NativeParser
         from ..models.encoder import make_config
+        from ..ops.pack_device import pack_frames_device
         self.batch = batch
         self.enc_cfg = make_config(sample_rate, out_bitrate, out_channels)
         self.mesh = mesh
@@ -103,10 +104,24 @@ class Transcoder:
         self.out_channels = out_channels
         self._fn = None
         self._fmt = None
+        assert pack in ("device", "native")
+        self._pack_fn = pack_frames_device(self.enc_cfg) \
+            if pack == "device" else None
+
+    def _pack(self, enc) -> list[bytes]:
+        """enc fields [B, ...] or [F, B, ...] -> flat C-order frame list."""
+        from ..host import pack as PK
+        if self._pack_fn is not None:
+            fr = np.asarray(self._pack_fn(
+                enc["bap"], enc["qmant"], enc["enc_exp"], enc["strat"],
+                enc["csnroffst"], enc["fsnroffst"]))
+            fr = fr.reshape(-1, fr.shape[-1])
+            return [fr[i].tobytes() for i in range(fr.shape[0])]
+        enc_h = {k: np.asarray(v) for k, v in enc.items()}
+        return PK.pack_frames_native(self.enc_cfg, enc_h)
 
     def step(self, frames: list[bytes]):
         """One frame per stream in; one re-encoded frame per stream out."""
-        from ..host import pack as PK
         assert len(frames) == self.batch
         # decode request: match the encoder channel count
         want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
@@ -126,17 +141,15 @@ class Transcoder:
             self._fn = transcode_pipeline(fmt, self.enc_cfg, self.mesh)
         self.dec_carry, enc, _ = self._fn(self.dec_carry, stacked,
                                           self.enc_last, self.enc_csnr)
-        enc = {k: np.asarray(v) for k, v in enc.items()}
         self.enc_last = enc["new_last"]
         self.enc_csnr = enc["new_csnr"]
-        return [PK.pack_frame(self.enc_cfg, enc, b) for b in range(self.batch)]
+        return self._pack(enc)
 
     def step_frames(self, data: list[bytes], nframes: int) -> list[bytes]:
         """Multi-frame step: data[b] holds exactly `nframes` AC-3 frames.
         One device dispatch transcodes the whole chunk (scan over frames
         carrying both codecs' state); returns re-encoded bytes per stream.
         """
-        from ..host import pack as PK
         assert len(data) == self.batch
         want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
                 4: T.A52_2F2R, 5: T.A52_3F2R,
@@ -159,7 +172,7 @@ class Transcoder:
         (self.dec_carry, last, csnr), enc = fn(
             self.dec_carry, blocks, self.enc_last, self.enc_csnr)
         self.enc_last, self.enc_csnr = last, csnr
-        enc = {k: np.asarray(v) for k, v in enc.items()}
-        return [b"".join(
-            PK.pack_frame(self.enc_cfg, {k: v[f] for k, v in enc.items()}, b)
-            for f in range(nframes)) for b in range(self.batch)]
+        # [F, B] flattens C-order -> frame f of stream b at index f*B + b
+        flat = self._pack(enc)
+        return [b"".join(flat[f * self.batch + b] for f in range(nframes))
+                for b in range(self.batch)]

@@ -126,6 +126,15 @@ def bench_config2_device(batch, nframes):
              and os.environ.get("BENCH_NO_PALLAS", "") != "1")
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
+    # ship one stream's chunk over the (slow tunnel) link and materialize
+    # the full distinct batch buffer on device -- HBM-speed, and the timed
+    # loop still reads a real batch-sized tensor from HBM
+    def bcast(x):
+        x = jnp.asarray(x)
+        return jax.jit(
+            lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape)
+            .copy())(x)
+
     if fused:
         # Pallas fused kernel: matmul + OLA + int16 in VMEM (zd never
         # touches HBM); same equivalence class as the XLA path vs the
@@ -135,10 +144,8 @@ def bench_config2_device(batch, nframes):
         pre = premix_blocks(fmt, blocks1)
         freq1 = np.moveaxis(pre["freq"], -2, 0)      # plane-major
         Pn = freq1.shape[0]
-        freq = jnp.asarray(np.broadcast_to(freq1, (batch,) + freq1.shape)
-                           .copy())
-        bias_d = jnp.asarray(np.broadcast_to(pre["bias"], (batch, nblk))
-                             .copy())
+        freq = bcast(freq1)
+        bias_d = bcast(pre["bias"])
         state = {"d": jnp.zeros((batch, Pn, 128), jnp.float32)}
         fn = jax.jit(fused_steady)
 
@@ -150,10 +157,7 @@ def bench_config2_device(batch, nframes):
             blocks1p = premix_blocks(fmt, blocks1)
         else:
             blocks1p = blocks1
-        blocks = jax.tree.map(
-            lambda x: jnp.asarray(np.broadcast_to(x, (batch,) + x.shape)
-                                  .copy()),
-            blocks1p)
+        blocks = jax.tree.map(bcast, blocks1p)
         fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
                               long_only=long_only, premixed=premixed)
         state = {"c": init_batched_carry(batch)}
@@ -182,9 +186,14 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
       * "null" -- PCM is reduced on device (a52dec -o null analogue; also
         the transcode topology, where PCM never leaves the chip);
       * "fetch" -- full int16 PCM pulled to the host (a52dec -o float
-        analogue).  Through the axon tunnel D2H runs at ~32 MB/s with
-        ~35 ms/call fixed cost, so this mode is transfer-bound here; on a
-        directly-attached host it would track the null number.
+        analogue).
+
+    Measured env constraint: the axon tunnel moves ~32 MB/s in EACH
+    direction (block_until_ready returns early, so only a value fetch
+    observes it).  Shipping the premixed f32 planes costs 12 KB/frame ->
+    the tunnel alone caps e2e at ~85x realtime here; a directly-attached
+    host (PCIe, tens of GB/s) would be host-parse-bound instead (see
+    e2e_host_parse_xrt_per_core).
     """
     import jax
     import jax.numpy as jnp

@@ -1586,6 +1586,273 @@ extern "C" void ac3h_parse_many(
     for (auto& th : pool) th.join();
 }
 
+// ===========================================================================
+// Native frame packer: the host half of the encode path.
+//
+// Consumes the device encoder's dense outputs (bap, raw quantized
+// mantissas, encoded exponents, strategies, SNR offsets) and assembles
+// serial AC-3 frames -- header, grouped-mantissa combining in coefficient
+// order, zero fill, dual CRC with the polynomial-inverse back-patch.
+// Behavioural parity with the project's Python packer (host/pack.py),
+// cross-checked byte-for-byte in tests; frames fan out over std::threads.
+// ===========================================================================
+
+static const uint32_t CRC16_POLY = (1u << 0) | (1u << 2) | (1u << 15)
+                                   | (1u << 16);
+
+struct PackBits {
+    std::vector<uint8_t> buf;
+    uint64_t acc = 0;
+    int nbits = 0;
+    inline void put(int n, uint32_t v) {
+        acc = (acc << n) | (v & ((n >= 32) ? 0xFFFFFFFFu
+                                           : ((1u << n) - 1)));
+        nbits += n;
+        while (nbits >= 8) {
+            nbits -= 8;
+            buf.push_back((uint8_t)(acc >> nbits));
+        }
+    }
+    void flushz() {
+        if (nbits) {
+            buf.push_back((uint8_t)(acc << (8 - nbits)));
+            nbits = 0;
+        }
+    }
+};
+
+static uint16_t g_crc_tab[256];
+static bool g_crc_ready = false;
+static void crc_init() {
+    if (g_crc_ready) return;
+    for (int n = 0; n < 256; n++) {
+        uint32_t c = n << 8;
+        for (int k = 0; k < 8; k++)
+            c = (c & (1u << 15)) ? (((c << 1) & 0xFFFF) ^ (CRC16_POLY & 0xFFFF))
+                                 : (c << 1);
+        g_crc_tab[n] = (uint16_t)(c & 0xFFFF);
+    }
+    g_crc_ready = true;
+}
+
+static inline uint16_t ac3_crc(const uint8_t* p, size_t n, uint16_t crc) {
+    for (size_t i = 0; i < n; i++)
+        crc = (uint16_t)(g_crc_tab[p[i] ^ (crc >> 8)] ^ ((crc << 8) & 0xFFFF));
+    return crc;
+}
+
+static uint32_t mul_poly(uint32_t a, uint32_t b, uint32_t poly) {
+    uint32_t c = 0;
+    while (a) {
+        if (a & 1) c ^= b;
+        a >>= 1;
+        b <<= 1;
+        if (b & (1u << 16)) b ^= poly;
+    }
+    return c;
+}
+
+static uint32_t pow_poly(uint32_t a, uint32_t n, uint32_t poly) {
+    uint32_t r = 1;
+    while (n) {
+        if (n & 1) r = mul_poly(r, a, poly);
+        a = mul_poly(a, a, poly);
+        n >>= 1;
+    }
+    return r;
+}
+
+struct PackCfg {
+    int fscod, frmsizecod, halfratecod, acmod, lfe, nch, nf, frame_size;
+    int nb[6];
+    uint32_t crc_inv;      // pow_poly(POLY>>1, 16*fs58-16) for this size
+};
+
+static void pack_one(const PackCfg& C, const int8_t* bap,
+                     const int32_t* qmant, const uint8_t* enc_exp,
+                     const int32_t* strat, int csnr, int fsnr, uint8_t* out)
+{
+    // layout strides: bap/qmant/enc_exp [6][nch][256], strat [6][nch]
+    const int nch = C.nch, nf = C.nf;
+    const int lfe_ch = C.lfe ? nf : -1;
+    PackBits bw;
+    bw.buf.reserve(C.frame_size * 2 + 8);
+    bw.put(16, 0x0B77);
+    bw.put(16, 0);                        // crc1 patched later
+    bw.put(2, C.fscod);
+    bw.put(6, C.frmsizecod);
+    bw.put(5, 8 + C.halfratecod);         // bsid
+    bw.put(3, 0);                         // bsmod
+    bw.put(3, C.acmod);
+    if ((C.acmod & 1) && C.acmod != 1) bw.put(2, 1);   // cmixlev -4.5 dB
+    if (C.acmod & 4) bw.put(2, 1);                     // surmixlev -6 dB
+    if (C.acmod == 2) bw.put(2, 0);                    // dsurmod
+    bw.put(1, C.lfe ? 1 : 0);
+    bw.put(5, 31);                        // dialnorm -31 dB
+    bw.put(1, 0); bw.put(1, 0); bw.put(1, 0); bw.put(1, 0);
+    bw.put(1, 1);                         // origbs
+    bw.put(1, 0); bw.put(1, 0); bw.put(1, 0);
+
+    int32_t qm[6 * 256];
+    for (int blk = 0; blk < 6; blk++) {
+        const int8_t* bapb = bap + (size_t)blk * nch * 256;
+        const uint8_t* expb = enc_exp + (size_t)blk * nch * 256;
+        const int32_t* strb = strat + (size_t)blk * nch;
+        for (int c = 0; c < nf; c++) bw.put(1, 0);     // blksw: 512-pt
+        for (int c = 0; c < nf; c++) bw.put(1, 1);     // dithflag
+        bw.put(1, 0);                                  // dynrnge
+        if (blk == 0) { bw.put(1, 1); bw.put(1, 0); }  // cplstre, cplinu
+        else bw.put(1, 0);
+        if (C.acmod == 2) {
+            if (blk == 0) { bw.put(1, 1); for (int k = 0; k < 4; k++) bw.put(1, 0); }
+            else bw.put(1, 0);
+        }
+        for (int c = 0; c < nf; c++) bw.put(2, strb[c]);
+        if (C.lfe) bw.put(1, strb[lfe_ch]);
+        for (int c = 0; c < nf; c++)
+            if (strb[c] != EXP_REUSE) bw.put(6, 50);   // chbwcod
+        for (int c = 0; c < nch; c++) {
+            if (strb[c] == EXP_REUSE) continue;
+            int gsize = (c == lfe_ch) ? 1
+                        : (strb[c] == 1 ? 1 : strb[c] == 2 ? 2 : 4);
+            int nbc = C.nb[c];
+            int ngroups = (nbc + gsize * 3 - 4) / (3 * gsize);
+            const uint8_t* e = expb + (size_t)c * 256;
+            bw.put(4, e[0]);
+            int prev = e[0], p = 1;
+            for (int g = 0; g < ngroups; g++) {
+                int d0, d1, d2;
+                d0 = e[p] - prev + 2; prev = e[p]; p += gsize;
+                d1 = e[p] - prev + 2; prev = e[p]; p += gsize;
+                d2 = e[p] - prev + 2; prev = e[p]; p += gsize;
+                bw.put(7, (d0 * 5 + d1) * 5 + d2);
+            }
+            if (c != lfe_ch) bw.put(2, 0);             // gainrng
+        }
+        int baie = blk == 0 ? 1 : 0;
+        bw.put(1, baie);
+        if (baie) {
+            bw.put(2, 2); bw.put(2, 1); bw.put(2, 1);  // sdcy fdcy sgain
+            bw.put(2, 2); bw.put(3, 4);                // dbknee floor
+        }
+        bw.put(1, baie);
+        if (baie) {
+            bw.put(6, csnr);
+            for (int c = 0; c < nch; c++) { bw.put(4, fsnr); bw.put(3, 4); }
+        }
+        bw.put(1, 0);                                  // deltbaie
+        bw.put(1, 0);                                  // skiple
+
+        // grouped-mantissa combine (coefficient order across channels)
+        const int32_t* qsrc = qmant + (size_t)blk * nch * 256;
+        memcpy(qm, qsrc, (size_t)nch * 256 * 4);
+        int m1 = 0, m2 = 0, m4 = 0;
+        int32_t *h1 = nullptr, *h2 = nullptr, *h4 = nullptr;
+        for (int c = 0; c < nch; c++) {
+            const int8_t* bc = bapb + (size_t)c * 256;
+            int32_t* qc = qm + (size_t)c * 256;
+            int nbc = C.nb[c];
+            for (int i = 0; i < nbc; i++) {
+                int cls = bc[i];
+                int32_t v = qc[i];
+                if (cls == 1) {
+                    if (m1 == 0) { h1 = qc + i; qc[i] = 9 * v; m1 = 1; }
+                    else if (m1 == 1) { *h1 += 3 * v; qc[i] = 128; m1 = 2; }
+                    else { *h1 += v; qc[i] = 128; m1 = 0; }
+                } else if (cls == 2) {
+                    if (m2 == 0) { h2 = qc + i; qc[i] = 25 * v; m2 = 1; }
+                    else if (m2 == 1) { *h2 += 5 * v; qc[i] = 128; m2 = 2; }
+                    else { *h2 += v; qc[i] = 128; m2 = 0; }
+                } else if (cls == 4) {
+                    if (m4 == 0) { h4 = qc + i; qc[i] = 11 * v; m4 = 1; }
+                    else { *h4 += v; qc[i] = 128; m4 = 0; }
+                }
+            }
+        }
+        for (int c = 0; c < nch; c++) {
+            const int8_t* bc = bapb + (size_t)c * 256;
+            const int32_t* qc = qm + (size_t)c * 256;
+            int nbc = C.nb[c];
+            for (int i = 0; i < nbc; i++) {
+                int cls = bc[i];
+                int32_t q = qc[i];
+                if (cls == 0) continue;
+                if (cls == 1 || cls == 2 || cls == 4) {
+                    if (q != 128) bw.put(cls == 1 ? 5 : 7, (uint32_t)q);
+                } else if (cls == 3) bw.put(3, (uint32_t)q);
+                else if (cls == 14) bw.put(14, (uint32_t)q);
+                else if (cls == 15) bw.put(16, (uint32_t)q);
+                else bw.put(cls - 1, (uint32_t)q);
+            }
+        }
+    }
+
+    bw.flushz();
+    // zero fill + dual CRC (release-build overshoot semantics: crc2
+    // overwrites the last payload byte on the odd 44.1 kHz sizes)
+    int total = C.frame_size * 2;
+    int fs58 = (C.frame_size >> 1) + (C.frame_size >> 3);
+    memset(out, 0, total);
+    size_t n = bw.buf.size();
+    if ((int)n > total - 2) n = total - 2;
+    memcpy(out, bw.buf.data(), n);
+    uint16_t crc1 = ac3_crc(out + 4, (size_t)2 * fs58 - 4, 0);
+    crc1 = (uint16_t)mul_poly(C.crc_inv, crc1, CRC16_POLY);
+    out[2] = (uint8_t)(crc1 >> 8);
+    out[3] = (uint8_t)(crc1 & 0xFF);
+    uint16_t crc2 = ac3_crc(out + 2 * fs58, (size_t)(total - 2) - 2 * fs58, 0);
+    out[total - 2] = (uint8_t)(crc2 >> 8);
+    out[total - 1] = (uint8_t)(crc2 & 0xFF);
+}
+
+extern "C" void ac3h_pack_frames(
+    const int32_t* cfgv,          // [8]: fscod frmsizecod halfratecod acmod
+                                  //      lfe nch nf frame_size
+    const int32_t* nb_coefs,      // [nch]
+    int64_t nframes,              // flattened frame count
+    const int8_t* bap,            // [n, 6, nch, 256]
+    const int32_t* qmant,         // [n, 6, nch, 256]
+    const uint8_t* enc_exp,       // [n, 6, nch, 256]
+    const int32_t* strat,         // [n, 6, nch]
+    const int32_t* csnr,          // [n]
+    const int32_t* fsnr,          // [n]
+    uint8_t* out,                 // [n, frame_size*2]
+    int nthreads)
+{
+    crc_init();
+    PackCfg C;
+    C.fscod = cfgv[0]; C.frmsizecod = cfgv[1]; C.halfratecod = cfgv[2];
+    C.acmod = cfgv[3]; C.lfe = cfgv[4]; C.nch = cfgv[5]; C.nf = cfgv[6];
+    C.frame_size = cfgv[7];
+    for (int c = 0; c < C.nch; c++) C.nb[c] = nb_coefs[c];
+    int fs58 = (C.frame_size >> 1) + (C.frame_size >> 3);
+    C.crc_inv = pow_poly(CRC16_POLY >> 1, 16 * fs58 - 16, CRC16_POLY);
+
+    const size_t sq = (size_t)6 * C.nch * 256;
+    const size_t ss = (size_t)6 * C.nch;
+    const size_t so = (size_t)C.frame_size * 2;
+    auto work = [&](int64_t f) {
+        pack_one(C, bap + f * sq, qmant + f * sq, enc_exp + f * sq,
+                 strat + f * ss, csnr[f], fsnr[f], out + f * so);
+    };
+    if (nthreads <= 1 || nframes <= 1) {
+        for (int64_t f = 0; f < nframes; f++) work(f);
+        return;
+    }
+    std::atomic<int64_t> next{0};
+    int nt = nthreads < (int)nframes ? nthreads : (int)nframes;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++)
+        pool.emplace_back([&]() {
+            for (;;) {
+                int64_t f = next.fetch_add(1);
+                if (f >= nframes) return;
+                work(f);
+            }
+        });
+    for (auto& th : pool) th.join();
+}
+
 // sample-type variants (LIBA52_FIXED / LIBA52_DOUBLE semantics): templated
 // over arithmetic traits, sharing this TU's bit reader, allocator and tables
 #include "ac3sample.inc"

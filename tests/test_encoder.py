@@ -77,3 +77,63 @@ def test_encoder_is_reentrant():
     assert ea2.encode(pcm_a) == out_a1 + out_a2
     eb2 = Encoder(48000, 192000, 2)
     assert eb2.encode(pcm_b) == out_b1 + out_b2
+
+
+@pytest.mark.parametrize("nch,freq,kbps", [
+    (2, 48000, 192), (6, 48000, 640), (2, 44100, 128), (1, 32000, 96),
+])
+def test_native_packer_byte_identity(nch, freq, kbps):
+    """The threaded C++ batch packer (native/ac3host.cpp:ac3h_pack_frames)
+    emits byte-identical frames to the spec-form Python pack_frame."""
+    from ac3acm_tpu.host import pack as PK
+    from ac3acm_tpu.models.encoder import encode_pipeline
+    cfg = make_config(freq, kbps * 1000, nch)
+    fn = encode_pipeline(cfg)
+    rng = np.random.default_rng(nch + kbps)
+    B = 5
+    pcm = (rng.standard_normal((B, 1536, nch)) * 8000).astype(np.int32)
+    res = fn(pcm, np.zeros((B, nch, 256), np.int32),
+             np.full((B,), 40, np.int32))
+    res = {k: np.asarray(v) for k, v in res.items()}
+    assert res["ok"].all()
+    ref = [PK.pack_frame(cfg, res, b) for b in range(B)]
+    nat = PK.pack_frames_native(cfg, res)
+    assert nat == ref
+
+
+@pytest.mark.parametrize("nch,freq,kbps", [
+    (2, 48000, 192), (6, 48000, 640), (2, 44100, 128), (1, 32000, 96),
+])
+def test_device_packer_byte_identity(nch, freq, kbps):
+    """The on-device bit packer (ops/pack_device.py) emits byte-identical
+    frames to the spec-form Python pack_frame."""
+    from ac3acm_tpu.host import pack as PK
+    from ac3acm_tpu.models.encoder import encode_pipeline
+    from ac3acm_tpu.ops.pack_device import pack_frames_device
+    cfg = make_config(freq, kbps * 1000, nch)
+    fn = encode_pipeline(cfg)
+    rng = np.random.default_rng(nch * 3 + kbps)
+    B = 4
+    pcm = (rng.standard_normal((B, 1536, nch)) * 8000).astype(np.int32)
+    res = fn(pcm, np.zeros((B, nch, 256), np.int32),
+             np.full((B,), 40, np.int32))
+    res_h = {k: np.asarray(v) for k, v in res.items()}
+    assert res_h["ok"].all()
+    ref = [PK.pack_frame(cfg, res_h, b) for b in range(B)]
+    dev = np.asarray(pack_frames_device(cfg)(
+        res["bap"], res["qmant"], res["enc_exp"], res["strat"],
+        res["csnroffst"], res["fsnroffst"]))
+    assert [dev[b].tobytes() for b in range(B)] == ref
+
+
+def test_batched_encoder_pack_modes_agree():
+    """BatchedEncoder(pack='device') == pack='native', byte-for-byte,
+    including the multi-frame scan path."""
+    from ac3acm_tpu.parallel.encode import BatchedEncoder
+    pcm = make_pcm(2, 4, seed=5)
+    outs = {}
+    for mode in ("device", "native"):
+        enc = BatchedEncoder(3, 48000, 192000, 2, pack=mode)
+        stacked = np.stack([pcm, pcm, pcm])
+        outs[mode] = enc.encode_frames(stacked)
+    assert outs["device"] == outs["native"]
