@@ -221,13 +221,24 @@ class BatchedDecoder:
         for lane in self.lanes:
             del lane.pending[:nf]
         valid = np.ones((len(self.lanes), nf), bool)
+        for li, frames in enumerate(per_lane):
+            for fi, f in enumerate(frames):
+                if f is None:
+                    valid[li, fi] = False
+
+        # heterogeneous lanes (different acmod/output per lane, or a
+        # mid-stream format change): bucket by StreamFormat
+        fmts = {self._fmt_of(f) for row in per_lane for f in row
+                if f is not None}
+        if len(fmts) > 1:
+            return self._decode_heterogeneous(per_lane, valid)
+
         stacked = []
         first = None                 # first valid FrameData in the batch
         for li, frames in enumerate(per_lane):
             fixed = []
             for fi, f in enumerate(frames):
                 if f is None:
-                    valid[li, fi] = False
                     fixed.append(self._empty_frame())
                 else:
                     if first is None:
@@ -358,6 +369,16 @@ class BatchedDecoder:
             nfr = r["nframes"]
             nf = int(nfr.min())
             if nf > 0 and (nfr == nf).all():
+                # heterogeneous lane formats: route through the bucketed
+                # path (one masked batch call per distinct format)
+                lane_fmts = {
+                    self._fmt_from_meta(r["meta"][i])
+                    for i in range(len(self.lanes)) if r["meta"][i][6]}
+                if len(lane_fmts) > 1:
+                    emit = [[self._frame_slice(r, i, f) for f in range(nf)]
+                            for i in range(len(self.lanes))]
+                    valid = r["valid"][:, :nf].astype(bool)
+                    return self._decode_heterogeneous(emit, valid)
                 # fast path: the parse output is already the batch
                 rows = nf * 6
                 meta = None
@@ -385,10 +406,14 @@ class BatchedDecoder:
         emit = [l.pending[:nf] for l in self.lanes]
         for lane in self.lanes:
             del lane.pending[:nf]
+        valid = np.array([[fr["valid"] for fr in frames] for frames in emit])
+        emit_fmts = {self._fmt_of(fr) for frames in emit for fr in frames
+                     if fr["meta"] is not None}
+        if len(emit_fmts) > 1:
+            return self._decode_heterogeneous(emit, valid)
         meta = next((fr["meta"] for frames in emit for fr in frames
                      if fr["meta"] is not None), None)
         fmt = self._fmt_from_meta(meta)
-        valid = np.array([[fr["valid"] for fr in frames] for frames in emit])
         premix_all = (pp > 0 and fmt.nf_out < fmt.nfchans
                       and all(fr["premix_ok"] and fr["freq_pre"] is not None
                               for frames in emit for fr in frames))
@@ -399,6 +424,97 @@ class BatchedDecoder:
             None if premix_all else cat("freq_full"),
             cat("blksw"), None if premix_all else cat("coeff"),
             None if premix_all else cat("remat"), cat("bias"), premix_all)
+
+    # -- heterogeneous-lane bucketing ---------------------------------------
+
+    @staticmethod
+    def _fmt_of(obj):
+        """StreamFormat of a pending entry: FrameData (python parser) or a
+        native _frame_slice dict."""
+        if isinstance(obj, dict):
+            m = obj["meta"]
+            if m is None:
+                return None
+            return StreamFormat(acmod=int(m[0]), output=int(m[2]),
+                                slev_zero=bool(m[5]), chanbias=int(m[4]))
+        return StreamFormat(acmod=obj.acmod, output=obj.output,
+                            slev_zero=bool(obj.slev == 0.0),
+                            chanbias=int(obj.blocks[0].chanbias))
+
+    def _generic_blocks(self, obj):
+        """Pipeline-generic [6, ...] block tensors for one frame."""
+        from ..models.decoder import _stack_blocks
+        if isinstance(obj, dict):
+            return {"freq": obj["freq_full"], "blksw": obj["blksw"],
+                    "coeff": obj["coeff"],
+                    "remat": obj["remat"].astype(bool), "bias": obj["bias"]}
+        return _stack_blocks([obj])
+
+    def _decode_heterogeneous(self, per_lane, valid):
+        """Bucket lanes by per-frame StreamFormat (SURVEY hard-part 4).
+
+        One full-batch masked device call per (frame, distinct format):
+        shapes stay static (compiled once per format at this batch size),
+        and only the selected lanes' carries and PCM are committed.  Lanes
+        may change format mid-stream; the OLA carry persists across the
+        change exactly like the reference's single a52_state_t.
+        """
+        B = len(self.lanes)
+        nf = len(per_lane[0])
+        fall = self._fmt
+        fmts = []
+        for row in per_lane:
+            lane_fmts = []
+            prev = fall
+            for f in row:
+                cur = self._fmt_of(f) if f is not None else None
+                if cur is None:
+                    cur = prev or next(
+                        (self._fmt_of(g) for r2 in per_lane for g in r2
+                         if g is not None and self._fmt_of(g) is not None))
+                lane_fmts.append(cur)
+                prev = cur
+            fmts.append(lane_fmts)
+        nch_max = max(f.nch_out for row in fmts for f in row)
+        dtype = np.int16 if self.emit_int16 else np.float32
+        out = np.zeros((B, nf * 6, nch_max, 256), dtype)
+        empty = {
+            "freq": np.zeros((6, 6, 256), np.float32),
+            "blksw": np.zeros((6, 5), bool),
+            "coeff": np.zeros((6, 5), np.float32),
+            "remat": np.zeros((6, 256), bool),
+            "bias": np.full((6,), np.float32(self.bias)),
+        }
+        for fi in range(nf):
+            groups = {}
+            for li in range(B):
+                groups.setdefault(fmts[li][fi], []).append(li)
+            for fmt, sel in groups.items():
+                selmask = np.zeros(B, bool)
+                selmask[sel] = True
+                rows = []
+                for li in range(B):
+                    o = per_lane[li][fi]
+                    if selmask[li] and o is not None:
+                        rows.append(self._generic_blocks(o))
+                    else:
+                        rows.append(empty)
+                blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+                fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
+                carry2, pcm = fn(self._carry, blocks)
+                d_old = np.asarray(self._carry[0])
+                m_old = np.asarray(self._carry[1])
+                d_new = np.asarray(carry2[0])
+                m_new = np.asarray(carry2[1])
+                self._carry = (
+                    jnp.asarray(np.where(selmask[:, None, None],
+                                         d_new, d_old)),
+                    jnp.asarray(np.where(selmask, m_new, m_old)))
+                pcm_np = np.asarray(pcm)
+                out[selmask, fi * 6:(fi + 1) * 6, :fmt.nch_out] = \
+                    pcm_np[selmask]
+                self._fmt = fmt
+        return out, valid
 
     def parser_decode(self, lane: StreamLane, frame: bytes):
         return lane.parser.decode_frame(frame, self.flags, self.level, self.bias)

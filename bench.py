@@ -107,6 +107,38 @@ def load_blocks(nframes: int):
     return blocks, meta
 
 
+def _assert_fused_matches_xla(fmt, blocks1, check_blocks=48):
+    """Gate the Pallas fast path: fused_steady (real Mosaic lowering) vs
+    the XLA steady pipeline on golden coded content, max |delta| <= 1
+    int16 LSB including the carried delay chain."""
+    import jax
+    import jax.numpy as jnp
+    from ac3acm_tpu.models.decoder import _pipeline_steady, premix_blocks
+    from ac3acm_tpu.ops.pallas_steady import fused_steady
+    sub = {k: v[:check_blocks] for k, v in blocks1.items()}
+    pre = premix_blocks(fmt, sub)
+    B = 4
+    bat = jax.tree.map(
+        lambda x: jnp.asarray(np.broadcast_to(x, (B,) + x.shape).copy()),
+        pre)
+    carry = (jnp.zeros((B, 6, 128), jnp.float32),
+             jnp.ones((B,), bool))
+    from ac3acm_tpu.ops.filterbank import convert_to_int16
+    _, pcm_x = jax.jit(lambda c, b: _pipeline_steady(
+        fmt, c, b, long_only=True, premixed=True))(carry, bat)
+    i16_x = np.asarray(jax.jit(convert_to_int16)(pcm_x))
+
+    freq = jnp.asarray(np.moveaxis(np.asarray(bat["freq"]), -2, 1))
+    d0 = jnp.zeros((B, freq.shape[1], 128), jnp.float32)
+    pcm_f, _ = jax.jit(fused_steady)(freq, d0, bat["bias"])
+    i16_f = np.asarray(pcm_f).astype(np.int32)
+    d = np.abs(i16_x.astype(np.int64).reshape(-1)
+               - i16_f.astype(np.int64).reshape(-1))
+    assert d.max() <= 1, f"Pallas fused_steady drifted: max {d.max()} LSB"
+    log(f"pallas equivalence: fused_steady within {d.max()} LSB of XLA "
+        f"steady on {check_blocks} golden blocks")
+
+
 def bench_config2_device(batch, nframes):
     import jax
     import jax.numpy as jnp
@@ -141,6 +173,10 @@ def bench_config2_device(batch, nframes):
         # reference (+-1 LSB where the bias-384 grid rounds a ~1e-7 float
         # difference across a boundary)
         from ac3acm_tpu.ops.pallas_steady import fused_steady
+        # Mosaic equivalence gate on the real golden content: the fused
+        # kernel must stay within 1 int16 LSB of the XLA steady path
+        # before its timing counts (VERDICT r1 weak-point 6)
+        _assert_fused_matches_xla(fmt, blocks1)
         pre = premix_blocks(fmt, blocks1)
         freq1 = np.moveaxis(pre["freq"], -2, 0)      # plane-major
         Pn = freq1.shape[0]
