@@ -30,17 +30,61 @@ def _open_out(path):
     return sys.stdout.buffer if path in (None, "-") else open(path, "wb")
 
 
+def _stream_frames(fin, kind, track, pid, chunk=4096):
+    """Bounded-memory frame source: 4 KB reads -> (optional) resumable
+    PS/TS demux -> frame-sync scan with byte-wise resync.  Mirrors the
+    reference CLI's es_loop/ps_loop/ts_loop (a52dec.c:590,543,564 read
+    fixed-size chunks and carry sync state across reads); memory use is
+    bounded by the compaction below regardless of stream length.
+
+    Yields (frame_bytes, stream_flags, sample_rate).
+    """
+    from .host.parse import syncinfo
+    first = fin.read(chunk)
+    if kind == "auto":
+        if first[:1] == b"\x47":
+            kind = "ts"
+        elif first[:4] == b"\x00\x00\x01\xba":
+            kind = "ps"
+        else:
+            kind = "es"
+    dm = (demux.PsDemux(track) if kind == "ps"
+          else demux.TsDemux(pid) if kind == "ts" else None)
+    buf = bytearray()
+    pos = 0
+    data = first
+    while data:
+        buf += dm.feed(data) if dm else data
+        while True:
+            size = 0
+            while pos + 7 <= len(buf):
+                size, fl, sr, _ = syncinfo(bytes(buf[pos:pos + 7]))
+                if size:
+                    break
+                pos += 1                     # byte-wise resync
+            if not size or pos + size > len(buf):
+                break
+            yield bytes(buf[pos:pos + size]), fl, sr
+            pos += size
+        if pos > (1 << 16):
+            del buf[:pos]
+            pos = 0
+        data = fin.read(chunk)
+
+
 def cmd_decode(args):
-    data = open(args.input, "rb").read() if args.input != "-" \
-        else sys.stdin.buffer.read()
-    es = demux.extract_es(data, args.container, args.track, args.pid)
+    import itertools
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    frames = _stream_frames(fin, args.container, args.track, args.pid)
+    try:
+        first = next(frames)
+    except StopIteration:
+        print("no AC-3 frames found", file=sys.stderr)
+        return 1
+    frames = itertools.chain([first], frames)
+    srate = first[2]
     fp = _open_out(args.out)
     sink = make_sink(args.output, fp)
-
-    # probe sample rate from the first frame
-    srate = 48000
-    for _, srate, _ in demux.es_frames(es):
-        break
     flags, level, bias = sink.setup(srate)
     flags |= T.A52_ADJUST_LEVEL
     level *= 2.0 ** (args.gain / 6.0)
@@ -52,65 +96,50 @@ def cmd_decode(args):
         # -DLIBA52_FIXED (audio_out_internal.h:30-32) and converts Q30 to
         # the sink's float domain afterwards
         from .host.native import SampleDecoder
-        from .host.parse import syncinfo
         dec = SampleDecoder(args.sample_type)
         if not args.drc:
             dec.set_drc_enabled(False)
         fixed = args.sample_type == "fixed"
         lv = float(int((1 << 26) * level)) if fixed else level
         bs = 0.0 if fixed else bias
-        pos = 0
-        while pos + 7 <= len(es):
-            size, fl, _, _ = syncinfo(es[pos:pos + 7])
-            if size == 0:
-                pos += 1
-                continue
-            if pos + size > len(es):
-                break
-            out = dec.decode_stream(es[pos:pos + size], flags, lv, bs)
+        for fb, fl, _ in frames:
+            out = dec.decode_stream(fb, flags, lv, bs)
             if fixed:
                 out = out.astype(np.float64) * 2.0 ** -30 + bias
             for blk in out:
                 sink.play(_native_outmode(fl, flags), blk.astype(np.float32))
             meter.tick(1)
-            pos += size
     elif args.backend == "native":
         # bit-exact C++ backend; low-latency single-stream path
         from .host.native import NativeDecoder
-        from .host.parse import syncinfo
         dec = NativeDecoder()
         if not args.drc:
             dec.set_drc_enabled(False)
-        pos = 0
-        while pos + 7 <= len(es):
-            size, fl, _, _ = syncinfo(es[pos:pos + 7])
-            if size == 0:
-                pos += 1
-                continue
-            if pos + size > len(es):
-                break
-            out = dec.decode_stream(es[pos:pos + size], flags, level, bias)
+        for fb, fl, _ in frames:
+            out = dec.decode_stream(fb, flags, level, bias)
             for blk in out:
                 sink.play(_native_outmode(fl, flags), blk)
             meter.tick(1)
-            pos += size
     else:
         from .models.decoder import Decoder
         dec = Decoder()
         if not args.drc:
             dec.set_drc_enabled(False)
-        frames = [f for f, _, _ in demux.es_frames(es)]
         chunk = max(1, args.chunk_frames)
-        for i in range(0, len(frames), chunk):
-            pcm, fmt = dec.decode_frames(frames[i:i + chunk], flags, level,
-                                         bias)
+        while True:
+            batch = [fb for fb, _, _ in itertools.islice(frames, chunk)]
+            if not batch:
+                break
+            pcm, fmt = dec.decode_frames(batch, flags, level, bias)
             for blk in pcm:
                 sink.play(fmt.output, blk)
-            meter.tick(len(frames[i:i + chunk]))
+            meter.tick(len(batch))
     meter.close()
     sink.close()
     if fp is not sys.stdout.buffer:
         fp.close()
+    if fin is not sys.stdin.buffer:
+        fin.close()
     return 0
 
 
@@ -175,12 +204,30 @@ def cmd_encode(args):
 
 
 def cmd_extract(args):
-    data = open(args.input, "rb").read()
-    es = demux.extract_es(data, args.container, args.track, args.pid)
+    """Container -> raw AC-3 ES, streamed in 4 KB chunks (extract_a52
+    parity: the reference demuxer is a resumable state machine fed from
+    fixed-size reads, extract_a52.c)."""
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    first = fin.read(4096)
+    kind = args.container
+    if kind == "auto":
+        if first[:1] == b"\x47":
+            kind = "ts"
+        elif first[:4] == b"\x00\x00\x01\xba":
+            kind = "ps"
+        else:
+            kind = "es"
+    dm = (demux.PsDemux(args.track) if kind == "ps"
+          else demux.TsDemux(args.pid) if kind == "ts" else None)
     fp = _open_out(args.out)
-    fp.write(es)
+    data = first
+    while data:
+        fp.write(dm.feed(data) if dm else data)
+        data = fin.read(4096)
     if fp is not sys.stdout.buffer:
         fp.close()
+    if fin is not sys.stdin.buffer:
+        fin.close()
     return 0
 
 

@@ -108,3 +108,53 @@ def test_multichannel_acm_order():
     # reference encoder got channels in raw order (C-coded ch i = input col
     # i), decoding to 3F2R+LFE planes [LFE=c5? ...] -- assert a bijection:
     assert sorted(best.tolist()) == list(range(6)), corr.round(2)
+
+
+def test_cli_stream_frames_bounded_memory():
+    """The CLI's 4 KB-chunk frame source yields exactly the frames a
+    whole-buffer scan finds -- for raw ES and for a TS container -- and
+    compacts its carry buffer (bounded memory on arbitrarily long
+    streams; a52dec.c:590 es_loop parity)."""
+    import io
+    import os
+    from ac3acm_tpu.cli import _stream_frames
+    from ac3acm_tpu.io import demux
+
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    es = open(os.path.join(golden, "stereo_192.ac3"), "rb").read() * 4
+    want = [f for f, _, _ in demux.es_frames(es)]
+
+    got = [f for f, _, _ in _stream_frames(io.BytesIO(es), "auto", 0, 0)]
+    assert got == want
+
+    # damage mid-stream: byte-wise resync must skip it like es_frames
+    cut = es[: len(es) // 2] + b"\xde\xad" * 33 + es[len(es) // 2:]
+    want_cut = [f for f, _, _ in demux.es_frames(cut)]
+    got_cut = [f for f, _, _ in _stream_frames(io.BytesIO(cut), "es", 0, 0)]
+    assert got_cut == want_cut
+
+    # TS container (same minimal mux as test_regression.test_demux_ts_ps),
+    # consumed with tiny reads
+    pid = 0x42
+    ts = bytearray()
+    pos = 0
+    first_pkt = True
+    while pos < len(es):
+        chunk = es[pos:pos + 184]
+        pos += 184
+        hdr = bytes([0x47, (0x40 if first_pkt else 0) | (pid >> 8),
+                     pid & 0xFF, 0x10])
+        if first_pkt:
+            pes = b"\x00\x00\x01\xbd" + b"\x00\x00" + b"\x80\x00\x00"
+            body = pes + chunk[: 184 - len(pes)]
+            pos = len(body) - len(pes)
+            first_pkt = False
+        else:
+            body = chunk
+        body = body + b"\xff" * (184 - len(body))
+        ts += hdr + body
+    want_ts = [f for f, _, _ in demux.es_frames(
+        demux.extract_es(bytes(ts), "ts", pid=pid))]
+    got_ts = [f for f, _, _ in _stream_frames(io.BytesIO(bytes(ts)), "ts",
+                                              0, pid, chunk=1024)]
+    assert got_ts == want_ts and len(got_ts) >= len(want) - 1
