@@ -96,7 +96,8 @@ def cmd_decode(args):
         # -DLIBA52_FIXED (audio_out_internal.h:30-32) and converts Q30 to
         # the sink's float domain afterwards
         from .host.native import SampleDecoder
-        dec = SampleDecoder(args.sample_type)
+        backend = args.backend if args.sample_type == "fixed" else "native"
+        dec = SampleDecoder(args.sample_type, backend=backend)
         if not args.drc:
             dec.set_drc_enabled(False)
         fixed = args.sample_type == "fixed"
@@ -283,7 +284,8 @@ def main(argv=None):
                    choices=["float", "fixed", "double"],
                    help="decode arithmetic (LIBA52_FIXED/DOUBLE parity)")
     d.add_argument("--backend", default="native", choices=["native", "tpu"],
-                   help="native: bit-exact C++ CPU path; tpu: device pipeline")
+                   help="native: bit-exact C++ CPU path; tpu: device "
+                        "pipeline (float and fixed sample types)")
     d.add_argument("--no-drc", dest="drc", action="store_false")
     d.add_argument("--container", default="auto", choices=["auto", "es", "ps", "ts"])
     d.add_argument("--track", type=lambda x: int(x, 0), default=0)

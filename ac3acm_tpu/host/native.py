@@ -270,10 +270,17 @@ class SampleDecoder:
 
     _KINDS = {"fixed": (0, np.int32), "double": (1, np.float64)}
 
-    def __init__(self, kind: str):
+    def __init__(self, kind: str, backend: str = "native"):
         if kind not in self._KINDS:
             raise ValueError(f"kind must be fixed|double, got {kind!r}")
+        if backend not in ("native", "tpu"):
+            raise ValueError(f"backend must be native|tpu, got {backend!r}")
+        if backend == "tpu" and kind != "fixed":
+            # double needs f64 arithmetic, which TPUs do not implement;
+            # the reference's double build stays a CPU backend
+            raise ValueError("backend='tpu' supports kind='fixed' only")
         self.kind = kind
+        self.backend = backend
         self._k, self._np = self._KINDS[kind]
         self.lib = get_lib()
         L = self.lib
@@ -289,11 +296,16 @@ class SampleDecoder:
                 fn.argtypes = [C.c_void_p, C.c_char_p, C.c_int, C.c_double,
                                C.c_double, C.POINTER(ct),
                                C.POINTER(C.c_int32)]
+            L.ac3h_sdec_parse_fixed.restype = C.c_int
+            L.ac3h_sdec_parse_fixed.argtypes = [
+                C.c_void_p, C.c_char_p, C.c_int, C.c_double,
+                C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
             L._sdec_ready = True
         self._d = L.ac3h_sdec_new(self._k)
         self._frame_fn = (L.ac3h_sdec_frame_fixed if self._k == 0
                           else L.ac3h_sdec_frame_double)
         self._ct = C.c_int32 if self._k == 0 else C.c_double
+        self._dev_carry = None
 
     def __del__(self):
         if getattr(self, "_d", None):
@@ -313,6 +325,8 @@ class SampleDecoder:
             level = float(1 << 26) if self._k == 0 else 1.0
         if bias is None:
             bias = 0.0
+        if self.backend == "tpu":
+            return self._decode_stream_device(es, flags, level)
         out_blocks = []
         pcm = np.zeros((6, 6, 256), self._np)
         nch = C.c_int32(0)
@@ -333,6 +347,55 @@ class SampleDecoder:
                 out_blocks.append(
                     pcm.reshape(-1)[: 6 * n * 256].reshape(6, n, 256).copy())
             pos += size
+        if not out_blocks:
+            return np.zeros((0, 0, 256), self._np)
+        return np.concatenate(out_blocks, axis=0)
+
+    def _decode_stream_device(self, es: bytes, flags: int, level: float):
+        """LIBA52_FIXED on the device: native parse-only pre-pass (dequant
+        to Q30, rematrix) -> int32 filterbank/downmix pipeline
+        (models.decoder.fixed_block_pipeline), bit-exact vs the CPU
+        backend and the -DLIBA52_FIXED reference build."""
+        import jax.numpy as jnp
+        from .parse import syncinfo
+        from ..models.decoder import (StreamFormat, fixed_block_pipeline,
+                                      init_fixed_carry)
+        L = self.lib
+        freq = np.zeros((6, 6, 256), np.int32)
+        blksw = np.zeros((6, 5), np.uint8)
+        czero = np.zeros((6, 5), np.uint8)
+        meta = np.zeros(6, np.int32)
+        if self._dev_carry is None:
+            self._dev_carry = init_fixed_carry()
+        out_blocks = []
+        pos = 0
+        while pos + 7 <= len(es):
+            size, _, _, _ = syncinfo(es[pos:pos + 7])
+            if size == 0:
+                pos += 1
+                continue
+            if pos + size > len(es):
+                break
+            r = L.ac3h_sdec_parse_fixed(
+                self._d, es[pos:pos + size], flags, level,
+                C.c_void_p(freq.ctypes.data), C.c_void_p(blksw.ctypes.data),
+                C.c_void_p(czero.ctypes.data), C.c_void_p(meta.ctypes.data))
+            pos += size
+            if r != 0:
+                continue
+            fmt = StreamFormat(acmod=int(meta[0]), output=int(meta[1]),
+                               slev_zero=bool(meta[3]),
+                               chanbias=int(meta[2]))
+            blocks = {
+                "freq": jnp.asarray(freq),
+                "blksw": jnp.asarray(blksw.astype(bool)),
+                "coeff": jnp.asarray(1.0 - czero.astype(np.float32)),
+                "remat": jnp.zeros((6, 256), bool),
+                "bias": jnp.zeros((6,), jnp.int32),
+            }
+            self._dev_carry, pcm = fixed_block_pipeline(fmt)(
+                self._dev_carry, blocks)
+            out_blocks.append(np.asarray(pcm))
         if not out_blocks:
             return np.zeros((0, 0, 256), self._np)
         return np.concatenate(out_blocks, axis=0)

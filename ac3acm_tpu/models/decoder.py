@@ -89,7 +89,7 @@ def _block_step(fmt: StreamFormat, carry, blk, filterbank=filterbank):
                         delay[:5])
     bias_vec = jnp.where(
         jnp.asarray([(fmt.chanbias >> i) & 1 for i in range(5)], bool),
-        0.0, bias)
+        jnp.zeros_like(bias), bias)
     t_out, t_dnew = filterbank(fbw, delay_t, blksw, bias_vec)
     zero_ch = (coeff == 0.0)[:, None]
     t_out = jnp.where(zero_ch, bias, t_out)
@@ -397,6 +397,36 @@ def block_pipeline(fmt: StreamFormat, exact: bool = False):
 
         return jax.jit(run)
     return jax.jit(partial(_pipeline_body, fmt))
+
+
+@lru_cache(maxsize=32)
+def fixed_block_pipeline(fmt: StreamFormat):
+    """LIBA52_FIXED device pipeline: int32 Q30 throughout.
+
+    Same _block_step orchestration as the float scan (path decision,
+    downmix/upmix carry fixups, zero-coeff channels), with the order-exact
+    filterbank built over the reference's Q30 MUL semantics
+    (ops/imdct_exact.get_variant('fixed'); a52_internal.h:144-150).  The
+    host pre-pass (native ac3h_sdec_parse_fixed) has already dequantized
+    and rematrixed, so blocks carry remat=False; bias is always 0 in the
+    fixed build (BIASV, native/ac3sample.inc:48).
+
+    blocks: freq int32 [n, 6, 256], blksw bool [n, 5], coeff f32 0/1
+    validity flags [n, 5], remat False [n, 256], bias int32 zeros [n].
+    carry: (delay int32 [6, 128], downmixed bool).
+    """
+    from ..ops.imdct_exact import get_variant
+    fb = get_variant("fixed")["filterbank"]
+
+    def run(carry, blocks):
+        step = partial(_block_step, fmt, filterbank=fb)
+        return jax.lax.scan(step, carry, blocks)
+
+    return jax.jit(run)
+
+
+def init_fixed_carry():
+    return (jnp.zeros((6, 128), jnp.int32), jnp.asarray(True))
 
 
 def init_carry(batch_shape=()):

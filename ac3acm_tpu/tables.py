@@ -501,6 +501,34 @@ def imdct_twiddles():
     return out
 
 
+def imdct_twiddles_f64():
+    """The imdct_twiddles() tables at full double precision (pre-cast):
+    the fixed-point build quantizes these with SAMPLE() truncation instead
+    of the float32 cast (ops/imdct_exact.py:_tw_fixed)."""
+    out = {}
+    for n, size in (("roots16", 3), ("roots32", 7), ("roots64", 15),
+                    ("roots128", 31)):
+        m = {"roots16": 8, "roots32": 16, "roots64": 32, "roots128": 64}[n]
+        out[n] = np.cos((math.pi / m) * (np.arange(size) + 1))
+    i = np.arange(128)
+    k = FFTORDER[:128] // 2 + 64
+    sign = np.where(i < 64, 1.0, -1.0)
+    out["pre1_r"] = sign * np.cos((math.pi / 256) * (k - 0.25))
+    out["pre1_i"] = sign * np.sin((math.pi / 256) * (k - 0.25))
+    i = np.arange(64)
+    out["post1_r"] = np.cos((math.pi / 256) * (i + 0.5))
+    out["post1_i"] = np.sin((math.pi / 256) * (i + 0.5))
+    k2 = FFTORDER[:64] // 4
+    out["pre2_r"] = np.cos((math.pi / 128) * (k2 - 0.25))
+    out["pre2_i"] = np.sin((math.pi / 128) * (k2 - 0.25))
+    i = np.arange(32)
+    out["post2_r"] = np.cos((math.pi / 128) * (i + 0.5))
+    out["post2_i"] = np.sin((math.pi / 128) * (i + 0.5))
+    out["window"] = np.asarray(kbd_window(), np.float64)
+    out["fftorder"] = FFTORDER[:128].astype(np.int32)
+    return out
+
+
 @lru_cache(maxsize=1)
 def imdct512_matrices():
     """(Z [256,256], D [256,128]) for the long (blksw=0) filterbank."""

@@ -99,3 +99,39 @@ def test_sample_type_halfrate(kind):
     m = mine.reshape(mine.shape[0], -1)
     assert rb.shape == m.shape
     np.testing.assert_array_equal(rb, m)
+
+
+@pytest.mark.parametrize("stream", STREAMS)
+def test_fixed_device_backend_golden(stream):
+    """SampleDecoder('fixed', backend='tpu') -- host dequant pre-pass +
+    int32 Q30 device filterbank/downmix -- is bit-exact vs the reference
+    -DLIBA52_FIXED build (and hence vs the CPU backend)."""
+    es = open(os.path.join(GOLDEN, stream), "rb").read()
+    ref = get_ref_variant("fixed")
+    for name, flags in MODES:
+        _, rb = ref.decode_stream(es, flags)
+        mine = SampleDecoder("fixed", backend="tpu").decode_stream(
+            es, flags | T.A52_ADJUST_LEVEL)
+        m = mine.reshape(mine.shape[0], -1)
+        assert rb.shape == m.shape, (name, rb.shape, m.shape)
+        np.testing.assert_array_equal(rb, m, err_msg=f"{stream} {name}")
+
+
+@pytest.mark.parametrize("case", [
+    ("stereo_cpl", 11, 2, False, dict(want_cpl=True), T.A52_STEREO),
+    ("3f2r_lfe_cpl", 14, 7, True, dict(want_cpl=True), T.A52_3F2R | T.A52_LFE),
+    ("blksw_downmix", 15, 7, False, dict(want_blksw=True), T.A52_STEREO),
+], ids=lambda c: c[0] if isinstance(c, tuple) else c)
+def test_fixed_device_backend_fuzz(case):
+    """Device fixed path over synthetic streams: coupling, 256-pt blocks
+    (imdct256 in Q30), downmix-strategy flips with the int32 delay carry."""
+    from tests.streamgen import gen_stream
+    name, seed, acmod, lfeon, kw, flags = case
+    es = gen_stream(seed, acmod, lfeon, nframes=3, **kw)
+    ref = get_ref_variant("fixed")
+    mine = SampleDecoder("fixed", backend="tpu").decode_stream(
+        es, flags | T.A52_ADJUST_LEVEL)
+    _, rb = ref.decode_stream(es, flags)
+    m = mine.reshape(mine.shape[0], -1)
+    assert rb.shape == m.shape
+    np.testing.assert_array_equal(rb, m, err_msg=name)
