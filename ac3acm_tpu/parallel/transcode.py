@@ -85,28 +85,36 @@ def transcode_pipeline_multi(dec_fmt: StreamFormat, enc_cfg: EncoderConfig):
     return jax.jit(multi)
 
 
+@lru_cache(maxsize=16)
+def _enc_input(perm: tuple, F: int):
+    """jitted: decoder int16 PCM [B, F*6, nch, 256] -> encoder samples
+    [F, B, 1536, nch] int32 (plane permute + interleave), device-resident."""
+    def fn(pcm):
+        B = pcm.shape[0]
+        nch = pcm.shape[2]
+        x = pcm.astype(jnp.int32)[:, :, jnp.asarray(list(perm)), :]
+        x = x.reshape(B, F, 6, nch, 256).transpose(1, 0, 2, 4, 3)
+        return x.reshape(F, B, 1536, nch)
+    return jax.jit(fn)
+
+
 class Transcoder:
     """N same-format streams: AC-3 in -> AC-3 out (re-encode at new rate)."""
 
     def __init__(self, batch: int, out_bitrate: int, out_channels: int,
                  sample_rate: int = 48000, mesh=None, pack: str = "device"):
-        from ..host.native import NativeParser
         from ..models.encoder import make_config
         from ..ops.pack_device import pack_frames_device
         self.batch = batch
         self.enc_cfg = make_config(sample_rate, out_bitrate, out_channels)
         self.mesh = mesh
-        self.parsers = [NativeParser() for _ in range(batch)]
-        self.dec_carry = (jnp.zeros((batch, 6, 128), jnp.float32),
-                          jnp.ones((batch,), bool))
         self.enc_last = jnp.zeros((batch, out_channels, 256), jnp.int32)
         self.enc_csnr = jnp.full((batch,), 40, jnp.int32)
         self.out_channels = out_channels
-        self._fn = None
-        self._fmt = None
         assert pack in ("device", "native")
         self._pack_fn = pack_frames_device(self.enc_cfg) \
             if pack == "device" else None
+        self._bd = None          # lazy decoder pool (owns the dec carry)
 
     def _pack(self, enc) -> list[bytes]:
         """enc fields [B, ...] or [F, B, ...] -> flat C-order frame list."""
@@ -121,56 +129,47 @@ class Transcoder:
         return PK.pack_frames_native(self.enc_cfg, enc_h)
 
     def step(self, frames: list[bytes]):
-        """One frame per stream in; one re-encoded frame per stream out."""
-        assert len(frames) == self.batch
-        # decode request: match the encoder channel count
-        want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
-                4: T.A52_2F2R, 5: T.A52_3F2R,
-                6: T.A52_3F2R | T.A52_LFE}[self.out_channels]
-        flags = want | T.A52_ADJUST_LEVEL
-        allb = [p.decode_frames(fb, 1, flags, 1.0, 384.0)
-                for p, fb in zip(self.parsers, frames)]
-        stacked = jax.tree.map(lambda *xs: np.stack(xs),
-                               *[b for b, _ in allb])
-        meta = allb[0][1]
-        fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
-                           slev_zero=meta["slev"] == 0.0,
-                           chanbias=meta["chanbias"])
-        if fmt != self._fmt:
-            self._fmt = fmt
-            self._fn = transcode_pipeline(fmt, self.enc_cfg, self.mesh)
-        self.dec_carry, enc, _ = self._fn(self.dec_carry, stacked,
-                                          self.enc_last, self.enc_csnr)
-        self.enc_last = enc["new_last"]
-        self.enc_csnr = enc["new_csnr"]
-        return self._pack(enc)
+        """One frame per stream in; one re-encoded frame per stream out.
+        Same machinery as step_frames (chunk of 1)."""
+        return self.step_frames(frames, 1)
 
     def step_frames(self, data: list[bytes], nframes: int) -> list[bytes]:
-        """Multi-frame step: data[b] holds exactly `nframes` AC-3 frames.
-        One device dispatch transcodes the whole chunk (scan over frames
-        carrying both codecs' state); returns re-encoded bytes per stream.
+        """Multi-frame step: data[b] holds exactly `nframes` AC-3 frames;
+        returns re-encoded bytes per stream.
+
+        Decode rides the BatchedDecoder native pool (threaded C++ parse,
+        premixed steady device path when the chunk qualifies -- only the
+        nch_out output planes cross host->device, ~3x less transfer than
+        the full coded planes) and the PCM stays device-resident into the
+        encoder scan; frames leave as packed bytes.
         """
         assert len(data) == self.batch
         want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
                 4: T.A52_2F2R, 5: T.A52_3F2R,
                 6: T.A52_3F2R | T.A52_LFE}[self.out_channels]
         flags = want | T.A52_ADJUST_LEVEL
-        allb = [p.decode_frames(fb, nframes, flags, 1.0, 384.0)
-                for p, fb in zip(self.parsers, data)]
-        meta = allb[0][1]
-        fmt = StreamFormat(acmod=meta["acmod"], output=meta["output"],
-                           slev_zero=meta["slev"] == 0.0,
-                           chanbias=meta["chanbias"])
-        # [B] of dicts with [F*6, ...] -> [F, B, 6, ...]
-        def to_fb(x):
-            x = np.stack(x)                               # [B, F*6, ...]
-            x = x.reshape((x.shape[0], nframes, 6) + x.shape[2:])
-            return jnp.asarray(np.moveaxis(x, 1, 0))
-        blocks = jax.tree.map(lambda *xs: to_fb(xs),
-                              *[b for b, _ in allb])
-        fn = transcode_pipeline_multi(fmt, self.enc_cfg)
-        (self.dec_carry, last, csnr), enc = fn(
-            self.dec_carry, blocks, self.enc_last, self.enc_csnr)
+        if self._bd is None:
+            from .pipeline import BatchedDecoder
+            self._bd = BatchedDecoder(self.batch, flags, level=1.0,
+                                      bias=384.0, mesh=self.mesh,
+                                      emit_int16=True, parser="native")
+        for i, d in enumerate(data):
+            self._bd.feed(i, d)
+        r = self._bd.decode_available(max_frames=nframes)
+        assert r is not None, "no complete frames in step_frames input"
+        pcm, valid = r
+        if not np.asarray(valid).all():
+            raise RuntimeError("corrupt frame in transcode input")
+        B = self.batch
+        F = pcm.shape[1] // 6
+        nch = self.out_channels
+        assert pcm.shape[2] == nch, (pcm.shape, nch)
+        # decoder plane order ([lfe] + fbw) -> AC-3 coded order (lfe last)
+        perm = list(range(1, nch)) + [0] if nch == 6 else list(range(nch))
+        samples = _enc_input(tuple(perm), F)(pcm)
+        from ..models.encoder import encode_pipeline_multi
+        fn = encode_pipeline_multi(self.enc_cfg)
+        (last, csnr), enc = fn(samples, self.enc_last, self.enc_csnr)
         self.enc_last, self.enc_csnr = last, csnr
         # [F, B] flattens C-order -> frame f of stream b at index f*B + b
         flat = self._pack(enc)
