@@ -113,20 +113,20 @@ def _assert_fused_matches_xla(fmt, blocks1, check_blocks=48):
     int16 LSB including the carried delay chain."""
     import jax
     import jax.numpy as jnp
-    from ac3acm_tpu.models.decoder import _pipeline_steady, premix_blocks
+    from ac3acm_tpu.models.decoder import premix_blocks
     from ac3acm_tpu.ops.pallas_steady import fused_steady
+    from ac3acm_tpu.parallel.pipeline import (batched_pipeline,
+                                              init_batched_carry)
     sub = {k: v[:check_blocks] for k, v in blocks1.items()}
     pre = premix_blocks(fmt, sub)
     B = 4
     bat = jax.tree.map(
         lambda x: jnp.asarray(np.broadcast_to(x, (B,) + x.shape).copy()),
         pre)
-    carry = (jnp.zeros((B, 6, 128), jnp.float32),
-             jnp.ones((B,), bool))
-    from ac3acm_tpu.ops.filterbank import convert_to_int16
-    _, pcm_x = jax.jit(lambda c, b: _pipeline_steady(
-        fmt, c, b, long_only=True, premixed=True))(carry, bat)
-    i16_x = np.asarray(jax.jit(convert_to_int16)(pcm_x))
+    fnx = batched_pipeline(fmt, emit_int16=True, steady=True,
+                           long_only=True, premixed=True)
+    _, i16_x = fnx(init_batched_carry(B), bat)
+    i16_x = np.asarray(i16_x)
 
     freq = jnp.asarray(np.moveaxis(np.asarray(bat["freq"]), -2, 1))
     d0 = jnp.zeros((B, freq.shape[1], 128), jnp.float32)
