@@ -131,19 +131,25 @@ def guess_frame_size(block_align: int = 0, avg_bytes: int = 0,
 
 def suggest_pcm(src: Ac3Format, cfg: CodecConfig | None = None) -> PcmFormat:
     """AC3 -> PCM suggestion: same rate; stereo unless multichannel."""
+    from ..utils.trace import log_format_negotiation
     cfg = cfg or CodecConfig()
     ch = src.channels if cfg.multichannel else min(src.channels, 2)
-    return PcmFormat(channels=ch, sample_rate=src.sample_rate)
+    dst = PcmFormat(channels=ch, sample_rate=src.sample_rate)
+    log_format_negotiation("ac3->pcm", src, dst)
+    return dst
 
 
 def suggest_ac3(src: PcmFormat, cfg: CodecConfig | None = None) -> Ac3Format:
     """PCM -> AC3 suggestion: 64 or 96 kbps per channel (USE64 rule)."""
+    from ..utils.trace import log_format_negotiation
     cfg = cfg or CodecConfig()
     per = 64 if cfg.default_bitrate_per_channel <= 64 else 96
     kbps = per * src.channels
     rates = [int(b) for b in T.BIT_RATES]
     kbps = min((b for b in rates if b >= kbps), default=640)
-    return Ac3Format(src.channels, src.sample_rate, kbps)
+    dst = Ac3Format(src.channels, src.sample_rate, kbps)
+    log_format_negotiation("pcm->ac3", src, dst)
+    return dst
 
 
 # ---------------------------------------------------------------------------
@@ -181,14 +187,17 @@ class Ac3ToPcmStream:
     def convert(self, data: bytes) -> np.ndarray:
         """Feed bytes; returns interleaved int16 [n, nch] (may be empty)."""
         from ..host.parse import syncinfo
+        from ..utils.trace import log as _tracelog
         self.buf += data
         frames = []
         coded_flags = None
         pos = 0
+        skipped = 0
         while pos + 7 <= len(self.buf):
             size, flags, _, _ = syncinfo(self.buf[pos:pos + 7])
             if size == 0:
                 pos += 1
+                skipped += 1
                 continue
             if pos + size > len(self.buf):
                 break
@@ -197,9 +206,15 @@ class Ac3ToPcmStream:
             frames.append(self.buf[pos:pos + size])
             pos += size
         self.buf = self.buf[pos:]
+        if skipped:
+            # AC3ACM_LOGFILE analogue of the byte-wise resync scan
+            _tracelog.info("resync: skipped %d bytes to next syncword",
+                           skipped)
         if not frames:
             return np.zeros((0, self.dst_channels or 2), np.int16)
         req = self._request_flags(coded_flags)
+        _tracelog.debug("decode stream: coded_flags=%#x request=%#x "
+                        "frames=%d", coded_flags, req, len(frames))
         pcm, fmt = self.dec.decode_frames(frames, req, level=1.0, bias=384.0)
         order = ACM_ORDER[fmt.output & (T.A52_CHANNEL_MASK | T.A52_LFE)]
         planes = pcm[:, order, :]                       # [nblk, nch, 256]

@@ -104,3 +104,46 @@ def test_meter(capsys):
     m.close()
     err = capsys.readouterr().err
     assert "frames" in err and "realtime" in err
+
+
+def test_negotiation_and_resync_logging(tmp_path):
+    """AC3ACM_LOGFILE parity: format negotiation and resync events land in
+    the structured log (utils/trace.py wired into io/stream.py)."""
+    import logging
+    import os
+    from ac3acm_tpu.io.stream import (Ac3ToPcmStream, suggest_ac3,
+                                      suggest_pcm)
+    from ac3acm_tpu.utils.trace import log, setup_logging
+    path = str(tmp_path / "ac3acm.log")
+    handler_count = len(log.handlers)
+    setup_logging(path, level=logging.DEBUG)
+    try:
+        suggest_pcm(Ac3Format(6, 48000, 448))
+        suggest_ac3(PcmFormat(2, 48000))
+        # resync: garbage before a real frame
+        es = open(os.path.join(os.path.dirname(__file__), "golden",
+                               "bench_51_448.ac3"), "rb").read()
+        s = Ac3ToPcmStream(dst_channels=2)
+        pcm = s.convert(b"\x00" * 37 + es[:8192])
+        assert pcm.shape[0] > 0
+    finally:
+        for h in log.handlers[handler_count:]:
+            h.close()
+            log.removeHandler(h)
+    text = open(path).read()
+    assert "format_suggest ac3->pcm" in text
+    assert "format_suggest pcm->ac3" in text
+    assert "resync: skipped 37 bytes" in text
+    assert "decode stream: coded_flags=" in text
+
+
+def test_profile_trace(tmp_path):
+    """jax.profiler trace context produces an XPlane dump (gprof analogue)."""
+    import jax.numpy as jnp
+    from ac3acm_tpu.utils.trace import profile
+    d = str(tmp_path / "trace")
+    with profile(d) as out:
+        _ = jnp.square(jnp.arange(8.0)).sum().block_until_ready()
+    assert out == d
+    dumped = [f for _, _, fs in __import__("os").walk(d) for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in dumped), dumped
