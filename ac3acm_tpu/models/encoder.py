@@ -181,9 +181,14 @@ def _leading_true(fits):
 
 @lru_cache(maxsize=16)
 def encode_pipeline(cfg: EncoderConfig):
-    """jitted: (samples [B,1536,nch] i32, last [B,nch,256] i32,
-    csnroffst [B] i32) -> dict of frame fields + new carry."""
-    return jax.jit(_frame_body(cfg))
+    """jitted: (samples [B,1536,nch] int (any width), last [B,nch,256] i32,
+    csnroffst [B] i32) -> dict of frame fields + new carry.
+
+    Samples may arrive as int16 -- they are widened on device, so the
+    host->device transfer ships 2 bytes/sample instead of 4."""
+    run = _frame_body(cfg)
+    return jax.jit(lambda s, last, csnr: run(s.astype(jnp.int32),
+                                             last, csnr))
 
 
 @lru_cache(maxsize=16)
@@ -198,7 +203,7 @@ def encode_pipeline_multi(cfg: EncoderConfig):
 
     def multi(samples, last, csnr):
         def step(carry, pcm):
-            res = run(pcm, *carry)
+            res = run(pcm.astype(jnp.int32), *carry)
             return (res["new_last"], res["new_csnr"]), res
         return jax.lax.scan(step, (last, csnr), samples)
 
@@ -422,7 +427,7 @@ class Encoder:
         i = 0
         while i < nfr:
             f = min(self.CHUNK, nfr - i)
-            chunk = pcm[i * 1536:(i + f) * 1536][:, self.chmap].astype(np.int32)
+            chunk = pcm[i * 1536:(i + f) * 1536][:, self.chmap].astype(np.int16)
             if f == 1:
                 res = self._fn(chunk[None], self.last, self.csnroffst)
                 res = {k: np.asarray(v)[None] for k, v in res.items()}

@@ -108,7 +108,9 @@ def _header_bits(cfg):
 
 def _psum_incl(x):
     """Inclusive prefix sum along the last axis as log-shift adds
-    (lax.cumsum measures ~26 ms on these shapes; this measures ~0.04 ms)."""
+    (lax.cumsum measures ~26 ms on these shapes; this measures ~0.04 ms).
+    Keeps the input dtype -- callers pick the narrowest width that can
+    hold the final sum (HBM traffic, not FLOPs, bounds these scans)."""
     n = x.shape[-1]
     d = 1
     while d < n:
@@ -122,8 +124,10 @@ def _first_two_after(v, ok):
     """Per position i (along the last axis): the values of the first and
     second ok elements at position >= i, plus how many exist (0/1/2).
     Pointer-doubling with the "keep first two" monoid -- selects only.
+    Runs at the value dtype (uint8 for grouped mantissas: all grouped
+    quantizer indices and combined group codes fit in a byte).
     """
-    cnt = ok.astype(jnp.int32)
+    cnt = ok.astype(jnp.int8)
     v1 = jnp.where(ok, v, 0)
     v2 = jnp.zeros_like(v)
     n = v.shape[-1]
@@ -147,20 +151,28 @@ _GROUP_CLASSES = ((1, 3, 5, (9, 3, 1)), (2, 3, 7, (25, 5, 1)),
 
 
 def _mant_tokens(cls, q, validf):
-    """cls, q [..., 1536]; validf [1536] -> (lens, vals) per coefficient in
-    channel-major order, with grouped classes combined onto their heads."""
-    cls = jnp.where(validf, cls, 0)
+    """cls int8, q int32 [..., 1536]; validf [1536] -> (lens int8,
+    vals uint32) per coefficient in channel-major order, with grouped
+    classes combined onto their heads.
+
+    The doubling scan runs entirely in 8/16-bit lanes: grouped quantizer
+    indices are <= 10 and combined group codes are <= 124, so the heavy
+    [..., 3, 1536] intermediates stay a quarter of the uint32 footprint.
+    """
+    cls = jnp.where(validf, cls, jnp.int8(0)).astype(jnp.int8)
     # ungrouped lengths, arithmetically (no table gather):
     # 0 -> 0; 3 -> 3; 5..13 -> cls-1; 14 -> 14; 15 -> 16
-    lens = jnp.where(cls >= 5, cls - 1, jnp.where(cls == 3, 3, 0))
-    lens = jnp.where(cls == 14, 14, lens)
-    lens = jnp.where(cls == 15, 16, lens)
-    vals = q
+    lens = jnp.where(cls >= 5, cls - 1,
+                     jnp.where(cls == 3, jnp.int8(3), jnp.int8(0)))
+    lens = jnp.where(cls == 14, jnp.int8(14), lens)
+    lens = jnp.where(cls == 15, jnp.int8(16), lens).astype(jnp.int8)
+    vals = q.astype(jnp.uint32)
 
     # grouped classes: one batched doubling scan over a stacked class axis
     m = jnp.stack([cls == c for c, _, _, _ in _GROUP_CLASSES], axis=-2)
-    qs = jnp.broadcast_to(q[..., None, :], m.shape)
-    ordn = _psum_incl(m.astype(jnp.int32)) - 1
+    q8 = q.astype(jnp.uint8)              # grouped q <= 10; masked elsewhere
+    qs = jnp.broadcast_to(q8[..., None, :], m.shape)
+    ordn = _psum_incl(m.astype(jnp.int16)) - 1
     # strictly-after view: first/second member after position i
     a1, a2, acnt = _first_two_after(qs, m)
 
@@ -172,13 +184,15 @@ def _mant_tokens(cls, q, validf):
     for idx, (c, gsize, bits, mults) in enumerate(_GROUP_CLASSES):
         mi = m[..., idx, :]
         head = mi & (ordn[..., idx, :] % gsize == 0)
-        hv = mults[0] * q + mults[1] * jnp.where(
-            ncnt[..., idx, :] >= 1, n1[..., idx, :], 0)
+        hv = (jnp.uint8(mults[0]) * q8
+              + jnp.uint8(mults[1]) * jnp.where(
+                  ncnt[..., idx, :] >= 1, n1[..., idx, :], jnp.uint8(0)))
         if len(mults) == 3:
-            hv = hv + mults[2] * jnp.where(
-                ncnt[..., idx, :] >= 2, n2[..., idx, :], 0)
-        lens = jnp.where(mi, jnp.where(head, bits, 0), lens)
-        vals = jnp.where(head, hv, vals)
+            hv = hv + jnp.uint8(mults[2]) * jnp.where(
+                ncnt[..., idx, :] >= 2, n2[..., idx, :], jnp.uint8(0))
+        lens = jnp.where(mi, jnp.where(head, jnp.int8(bits), jnp.int8(0)),
+                         lens)
+        vals = jnp.where(head, hv.astype(jnp.uint32), vals)
     return lens, vals
 
 
@@ -268,9 +282,9 @@ def pack_frames_device(cfg):
         strat_e = strat.astype(jnp.int32)                    # [6, nch]
         reuse = strat_e == 0
         mant_lens, mant_vals = _mant_tokens(
-            bap.astype(jnp.int32).reshape(6, nch * 256),
+            bap.astype(jnp.int8).reshape(6, nch * 256),
             qmant.reshape(6, nch * 256), validf)             # [6, 1536]
-        grp7 = _exp_group_tokens(enc_exp.astype(jnp.int32), strat_e, nb)
+        grp7 = _exp_group_tokens(enc_exp.astype(jnp.int16), strat_e, nb)
         # actual group count per (blk, ch) selected from the static table
         ngt = jnp.asarray(ng_by_strat)                       # [nch, 4]
         ngrp = jnp.where(
@@ -287,14 +301,16 @@ def pack_frames_device(cfg):
 
         def flush():
             if pend_l:
-                lens_parts.append(jnp.asarray(np.array(pend_l, np.int32)))
+                lens_parts.append(jnp.asarray(np.array(pend_l, np.int16)))
                 vals_parts.append(jnp.asarray(np.array(pend_v, np.uint32)))
                 pend_l.clear()
                 pend_v.clear()
 
         def dyn(lens, vals):
             flush()
-            lens_parts.append(lens.astype(jnp.int32).reshape(-1))
+            # int16 lens: bit offsets max out at 30720 (3840-byte frames),
+            # so the whole offset prefix-sum fits 16-bit lanes
+            lens_parts.append(lens.astype(jnp.int16).reshape(-1))
             vals_parts.append(vals.astype(jnp.uint32).reshape(-1))
 
         pend_l += list(hdr_lens)
@@ -362,13 +378,13 @@ def pack_frames_device(cfg):
             vals = jnp.concatenate([vals, jnp.zeros((1,), vals.dtype)])
         l0, l1 = lens[0::2], lens[1::2]
         v0, v1 = vals[0::2], vals[1::2]
-        lens = l0 + l1
+        lens = (l0 + l1).astype(jnp.int16)
         vals = (v0 << l1.astype(jnp.uint32)) | v1
 
         # ---- deposit: prefix-sum offsets + sorted two-word scatter-or ----
         # combined token lengths reach 32 bits: still a two-word deposit
         # (sh + len <= 31 + 32 < 64)
-        off = _psum_incl(lens) - lens
+        off = _psum_incl(lens) - lens          # int16: max 30720 bits
         w = (off >> 5).astype(jnp.int32)
         sh = (off & 31).astype(jnp.uint32)
         lu = lens.astype(jnp.uint32)

@@ -57,7 +57,7 @@ class BatchedEncoder:
 
     def encode_step(self, pcm: np.ndarray) -> list[bytes]:
         """pcm int16 [batch, 1536, nch] (AC-3 channel order) -> frames."""
-        res = self._fn(jnp.asarray(pcm, jnp.int32), self.last, self.csnr)
+        res = self._fn(jnp.asarray(pcm, jnp.int16), self.last, self.csnr)
         ok = np.asarray(res["ok"])
         if not ok.all():
             bad = np.nonzero(~ok)[0]
@@ -73,7 +73,8 @@ class BatchedEncoder:
         encode_step calls)."""
         B, n, nch = pcm.shape
         F = n // 1536
-        frames = np.asarray(pcm, np.int32).reshape(B, F, 1536, nch)
+        # ship int16 (half the tunnel bytes); widened on device
+        frames = np.asarray(pcm, np.int16).reshape(B, F, 1536, nch)
         frames = np.moveaxis(frames, 1, 0)               # [F, B, 1536, nch]
         fn = encode_pipeline_multi(self.cfg)
         (last, csnr), outs = fn(jnp.asarray(frames), self.last, self.csnr)
