@@ -210,6 +210,31 @@ def encode_pipeline_multi(cfg: EncoderConfig):
     return jax.jit(multi)
 
 
+@lru_cache(maxsize=16)
+def encode_pipeline_packed(cfg: EncoderConfig):
+    """jitted multi-frame encode + on-device bit pack, one dispatch:
+    (samples [F,B,1536,nch] int, last, csnr) ->
+    ((last', csnr'), ok [F,B] bool, frames [F,B,frame_size*2] uint8).
+
+    The dense frame fields (qmant/exp/bap) never leave the chip and the
+    host never syncs between the encode and pack stages -- only the ok
+    mask and the finished serial frames come back."""
+    from ..ops.pack_device import pack_frames_device
+    run = _frame_body(cfg)
+    pack = pack_frames_device(cfg)
+
+    def full(samples, last, csnr):
+        def step(carry, pcm):
+            res = run(pcm.astype(jnp.int32), *carry)
+            return (res["new_last"], res["new_csnr"]), res
+        carry, enc = jax.lax.scan(step, (last, csnr), samples)
+        frames = pack(enc["bap"], enc["qmant"], enc["enc_exp"],
+                      enc["strat"], enc["csnroffst"], enc["fsnroffst"])
+        return carry, enc["ok"], frames
+
+    return jax.jit(full)
+
+
 def _frame_body(cfg: EncoderConfig):
     """(samples, last, csnr) -> frame-fields dict (untraced body)."""
     nch = cfg.channels

@@ -70,12 +70,27 @@ class BatchedEncoder:
         """Multi-frame step: pcm int16 [batch, F*1536, nch] -> concatenated
         AC-3 bytes per stream.  One device dispatch for all F frames
         (lax.scan carries last_samples/csnroffst; bit-identical to F
-        encode_step calls)."""
+        encode_step calls).  With the device packer, encode + pack run as
+        a single fused dispatch and only ok + finished frames return."""
+        from ..models.encoder import encode_pipeline_packed
         B, n, nch = pcm.shape
         F = n // 1536
         # ship int16 (half the tunnel bytes); widened on device
         frames = np.asarray(pcm, np.int16).reshape(B, F, 1536, nch)
         frames = np.moveaxis(frames, 1, 0)               # [F, B, 1536, nch]
+        if self._pack_fn is not None:
+            fn = encode_pipeline_packed(self.cfg)
+            (last, csnr), ok_d, fr = fn(jnp.asarray(frames),
+                                        self.last, self.csnr)
+            fr = np.asarray(fr)
+            ok = np.asarray(ok_d)
+            if not ok.all():
+                bad = np.argwhere(~ok)
+                raise RuntimeError(f"rate control failed at (frame,stream) "
+                                   f"{bad[:8].tolist()}")
+            self.last, self.csnr = last, csnr
+            return [b"".join(fr[f, b].tobytes() for f in range(F))
+                    for b in range(self.batch)]
         fn = encode_pipeline_multi(self.cfg)
         (last, csnr), outs = fn(jnp.asarray(frames), self.last, self.csnr)
         ok = np.asarray(outs["ok"])
