@@ -167,6 +167,16 @@ class Transcoder:
         # decoder plane order ([lfe] + fbw) -> AC-3 coded order (lfe last)
         perm = list(range(1, nch)) + [0] if nch == 6 else list(range(nch))
         samples = _enc_input(tuple(perm), F)(pcm)
+        if self._pack_fn is not None:
+            # fused encode+pack: one dispatch, frames leave as bytes
+            from ..models.encoder import encode_pipeline_packed
+            fn = encode_pipeline_packed(self.enc_cfg)
+            (last, csnr), _ok, fr = fn(samples, self.enc_last,
+                                       self.enc_csnr)
+            self.enc_last, self.enc_csnr = last, csnr
+            fr = np.asarray(fr)
+            return [b"".join(fr[f, b].tobytes() for f in range(nframes))
+                    for b in range(self.batch)]
         from ..models.encoder import encode_pipeline_multi
         fn = encode_pipeline_multi(self.enc_cfg)
         (last, csnr), enc = fn(samples, self.enc_last, self.enc_csnr)
