@@ -20,6 +20,31 @@ def test_bit_exact_frames(nch, freq, kbps):
     assert my_es == ref_es
 
 
+def test_all_19_bitrates_bit_exact():
+    """Every standard bitrate (32..640 kbps, ac3_bitratetab) produces
+    byte-identical frames to the reference — or fails rate control exactly
+    when the reference does (SURVEY §7.4: 19 bitrates acceptance)."""
+    import jax
+    ref = get_ref()
+    # quiet mono content so even 32 kbps has a feasible allocation
+    pcm = (make_pcm(1, 1, seed=77) // 64).astype(np.int16)
+    for kbps in [int(b) for b in T.BIT_RATES]:
+        ref_es = ref.encode(pcm, 48000, kbps)
+        try:
+            # eager: one tiny frame per config -- 19 jit compiles would
+            # cost far more than op-by-op dispatch here
+            with jax.disable_jit():
+                my_es = Encoder(48000, kbps * 1000, 1).encode(pcm)
+        except RuntimeError:
+            my_es = None
+        if my_es is None:
+            # reference signals failure with an unterminated search; its
+            # wrapper still returns bytes -- ours must only fail when the
+            # frame genuinely cannot fit, which this quiet signal avoids
+            raise AssertionError(f"rate control failed at {kbps} kbps")
+        assert my_es == ref_es, f"mismatch at {kbps} kbps"
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         make_config(11000, 96000, 2)      # not in any halfrate row
