@@ -87,7 +87,23 @@ def bench_config1():
     dt, _ = best_of(run, warmup=1, reps=3)
     xrt = 128 * 6 * 256 / 48000.0 / dt
     log(f"config1 single-stream CPU decode: {xrt:.0f}x realtime")
-    return round(xrt, 1)
+
+    # the reference's own headline path on the same host/core: liba52
+    # compiled from /root/reference (the differential-test oracle build)
+    ref_xrt = None
+    try:
+        from tests.refbuild import get_ref
+        ref = get_ref()
+
+        def run_ref():
+            ref.decode_stream(es, flags, level=1.0, bias=384.0)
+        dt_r, _ = best_of(run_ref, warmup=1, reps=3)
+        ref_xrt = 128 * 6 * 256 / 48000.0 / dt_r
+        log(f"config1 reference liba52 (same host): {ref_xrt:.0f}x realtime "
+            f"-> ours is {xrt / ref_xrt:.2f}x faster single-core")
+    except Exception as e:                      # oracle build unavailable
+        log(f"config1 reference comparison skipped: {e}")
+    return round(xrt, 1), (round(ref_xrt, 1) if ref_xrt else None)
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +386,10 @@ def main():
 
     configs = {}
     if "1" in which:
-        configs["c1_single_stream_cpu_xrt"] = bench_config1()
+        c1, c1_ref = bench_config1()
+        configs["c1_single_stream_cpu_xrt"] = c1
+        if c1_ref:
+            configs["c1_reference_liba52_same_host_xrt"] = c1_ref
     if "2" in which:
         configs["c2_batched_decode_device_xrt"] = \
             bench_config2_device(batch, nframes)
