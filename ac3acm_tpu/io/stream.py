@@ -165,10 +165,12 @@ class Ac3ToPcmStream:
     """
 
     def __init__(self, dst_channels: int | None = None,
-                 cfg: CodecConfig | None = None, use_native: bool = True):
+                 cfg: CodecConfig | None = None, exact: bool = False):
+        """exact=True decodes with the order-exact filterbank (bit-identical
+        float replay of the reference); default is the MXU matmul path."""
         from ..models.decoder import Decoder
         self.cfg = cfg or CodecConfig()
-        self.dec = Decoder()
+        self.dec = Decoder(exact=exact)
         if not self.cfg.dynamic_range:
             self.dec.set_drc_enabled(False)
         self.buf = b""

@@ -73,6 +73,51 @@ def test_roundtrip_stream_layer():
     assert snr > 12.0, snr
 
 
+def test_resync_after_corruption_matches_reference():
+    """Clobbered syncwords mid-stream: the stream layer drops the damaged
+    frames via byte-wise resync and the surviving decoded blocks equal the
+    reference decoder's own resync output on the same corrupted bytes
+    (stream_convert_ac3 ring-buffer scan, AC3ACM.cpp:1494-1600)."""
+    import os
+    es = open(os.path.join(os.path.dirname(__file__), "golden",
+                           "bench_51_448.ac3"), "rb").read()
+    frames = []
+    pos = 0
+    from ac3acm_tpu.host.parse import syncinfo
+    while pos + 7 <= len(es):
+        size, _, _, _ = syncinfo(es[pos:pos + 7])
+        frames.append(es[pos:pos + size])
+        pos += size
+    # kill frames 2 and 5's syncwords + inject garbage between frames
+    bad = bytearray(b"".join(frames))
+    off = sum(len(f) for f in frames[:2])
+    bad[off] ^= 0xFF                     # frame 2 syncword gone
+    off5 = sum(len(f) for f in frames[:5])
+    bad[off5 + 1] ^= 0x55                # frame 5 syncword gone
+    bad = bytes(bad[:off]) + b"\x0b\x00garbage" + bytes(bad[off:])
+
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    ref = get_ref()
+    _, ref_blocks = ref.decode_stream(bytes(bad), flags,
+                                      level=1.0, bias=384.0)
+
+    dec = Ac3ToPcmStream(dst_channels=2, exact=True)
+    outs = [dec.convert(bytes(bad)[i:i + 777])
+            for i in range(0, len(bad), 777)]
+    out = np.concatenate(outs, axis=0)
+    nblk = ref_blocks.shape[0]
+    assert out.shape[0] == nblk * 256     # same frames survived resync
+    ref_i16 = np.clip(np.round((ref_blocks.reshape(nblk, 2, 256)
+                                - 384.0) * 32768.0), -32768, 32767)
+    ref_i16 = ref_i16.transpose(0, 2, 1).reshape(-1, 2).astype(np.int16)
+    # <=1 LSB: the persistent jit cache may serve an artifact compiled on
+    # a different host whose XLA:CPU codegen contracts FMAs differently;
+    # the contract under test is the resync behaviour (same surviving
+    # frames, same audio), not cross-machine float codegen identity
+    d = np.abs(out.astype(np.int32) - ref_i16.astype(np.int32))
+    assert d.max() <= 1, d.max()
+
+
 def test_channel_map_and_orders():
     assert list(create_channel_map(6)) == [0, 2, 1, 4, 5, 3]
     assert list(create_channel_map(3)) == [0, 2, 1]
