@@ -8,14 +8,18 @@ premix reduces each (stream, output-plane) to:
     i16  = convert_to_int16(out)
 
 XLA materializes zd (4 bytes x 384 per coefficient row) through HBM
-between the matmul and the epilogue; this kernel keeps it in VMEM --
-one grid instance per (stream, plane) runs the whole chain for all n
-blocks of the chunk and writes only the int16 PCM and the 128-float
-carry-out delay.
+between the matmul and the epilogue; this kernel keeps it in VMEM and
+writes only the int16 PCM and the 128-float carry-out delay.
+
+Grid blocking: one grid instance per BB streams x all P planes (not one
+per (stream, plane) -- 8192 tiny instances put the per-instance DMA
+orchestration on the critical path; blocking BB streams amortizes it and
+feeds the MXU a [BB*P*n, 256] @ [256, 384] matmul).  Per-row MXU
+accumulation is unchanged, so results are bitwise identical across BB.
 
 The delay fold reverses the 128 delay lanes; Mosaic handles the
 reversal as a matmul with an exact permutation matrix (f32 x {0,1} is
-exact, and n x 128 x 128 flops are negligible next to the main matmul).
+exact, and the 128 x 128 flops are negligible next to the main matmul).
 
 Numerics: the MXU accumulation order differs from XLA's dot by ~1 ulp
 (measured 3e-8 on golden content) -- inside the reference compare-oracle
@@ -46,28 +50,30 @@ def _consts():
 
 def _kernel(freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref, rev_ref,
             out_ref, dlast_ref):
-    zd = jnp.dot(freq_ref[0, 0], w_ref[:],
+    BB, P, n, _ = freq_ref.shape
+    zd = jnp.dot(freq_ref[:].reshape(BB * P * n, 256), w_ref[:],
                  preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)       # [n, 384]
-    z = zd[:, :256]
-    d = zd[:, 256:]                                          # [n, 128]
-    dchain = jnp.concatenate([d0_ref[0, 0, :1], d[:-1]], axis=0)    # [n,128]
-    drev = jnp.dot(dchain, rev_ref[:],
+                 precision=jax.lax.Precision.HIGHEST)       # [BB*P*n, 384]
+    zd = zd.reshape(BB, P, n, 384)
+    z = zd[..., :256]
+    d = zd[..., 256:]                                        # [BB, P, n, 128]
+    dchain = jnp.concatenate([d0_ref[:, :, :1], d[:, :, :-1]], axis=2)
+    drev = jnp.dot(dchain.reshape(BB * P * n, 128), rev_ref[:],
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)      # exact reversal
-    dfold = jnp.concatenate([dchain, drev], axis=1)          # [n, 256]
-    bias = bias_ref[0, 0][:, None]                           # [n, 1]
+    dfold = jnp.concatenate([dchain, drev.reshape(BB, P, n, 128)], axis=-1)
+    bias = bias_ref[:, 0][:, None, :, None]                  # [BB, 1, n, 1]
     out = z * win_ref[0] + dfold * winr_ref[0] + bias
     x = (out - 384.0) * 32768.0
-    out_ref[0, 0] = jnp.clip(
+    out_ref[:] = jnp.clip(
         jnp.round(x), -32768.0, 32767.0).astype(jnp.int16)
-    # d[-1] as a negative index lowers to dynamic_slice (unsupported on
-    # Mosaic TC); slice the last row statically instead
-    nblk = d.shape[0]
-    dlast_ref[0, 0] = jnp.broadcast_to(d[nblk - 1:nblk], (8, 128))
+    # d[:, :, -1] as a negative index lowers to dynamic_slice (unsupported
+    # on Mosaic TC); slice the last row statically instead
+    dlast_ref[:] = jnp.broadcast_to(
+        d[:, :, n - 1:n], (BB, P, 8, 128))
 
 
-def fused_steady(freq, d0, bias):
+def fused_steady(freq, d0, bias, bb: int | None = None):
     """freq [B, P, n, 256] premixed long-only planes; d0 [B, P, 128] carry;
     bias [B, n] (the per-block state bias, 384.0 normally).
 
@@ -75,38 +81,50 @@ def fused_steady(freq, d0, bias):
 
     P = nch_out planes in output order (LFE first when present -- the
     caller lays them out; every plane has the same long-block chain).
+    bb: streams per grid instance (defaults to the largest of 8/4/2/1
+    dividing B that keeps the instance's VMEM footprint in budget).
     """
     w_long, win, win_r, rev = _consts()
     B, P, n, _ = freq.shape
+    if bb is None:
+        # ~16 B/coefficient through VMEM (freq in + zd + dfold + i16 out,
+        # double-buffered); stay well under the ~16 MB/core budget
+        for cand in (8, 4, 2, 1):
+            if B % cand == 0 and cand * P * n * 256 * 16 <= 10 * 2 ** 20:
+                bb = cand
+                break
+        else:
+            bb = 1
+    assert B % bb == 0
     # Mosaic wants (8, 128)-aligned trailing block dims: the tiny per-plane
     # carry rows ride in 8-row sublane tiles (row 0 is the data)
     d0_pad = jnp.broadcast_to(d0[:, :, None, :], (B, P, 8, 128))
     bias_b8 = jnp.broadcast_to(bias[:, None, :], (B, 8, n))
 
-    grid = (B, P)
+    grid = (B // bb,)
     out, dlast = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, n, 256), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bb, P, n, 256), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bb, P, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bb, 8, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 384), lambda i, j: (0, 0),
+            pl.BlockSpec((256, 384), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, n, 256), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bb, P, n, 256), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bb, P, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
