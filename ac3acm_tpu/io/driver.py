@@ -19,15 +19,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
-
-from .. import tables as T
 from ..utils.config import CodecConfig
 from ..utils.trace import log
 from .stream import (Ac3Format, Ac3ToPcmStream, PcmFormat, PcmToAc3Stream,
                      enumerate_ac3_formats, stream_copy, stream_size,
                      suggest_ac3, suggest_pcm)
 
+# enumeration order follows the AC-3 format list (48k first,
+# enumerate_ac3_formats), matching the ACM driver's display ordering
 SAMPLE_RATES = (48000, 44100, 32000)
 
 
@@ -56,6 +55,8 @@ class StreamInstance:
 
     def __init__(self, src, dst, cfg: CodecConfig):
         self.src, self.dst, self.cfg = src, dst, cfg
+        self._driver = None          # set by CodecDriver.stream_open
+        self._closed = False
         if isinstance(src, Ac3Format) and isinstance(dst, PcmFormat):
             self._conv = Ac3ToPcmStream(dst_channels=dst.channels, cfg=cfg)
             self._mode = "decode"
@@ -80,6 +81,8 @@ class StreamInstance:
         encode: int16 [n, nch] -> AC-3 bytes
         copy:   bytes -> bytes
         """
+        if self._closed:
+            raise RuntimeError("convert() on a closed stream")
         if self._mode == "copy":
             return stream_copy(bytes(data))
         return self._conv.convert(data)
@@ -95,7 +98,16 @@ class StreamInstance:
                            query_source)
 
     def close(self):
+        """ACMDM_STREAM_CLOSE: release the converter and deregister from
+        the owning driver (the reference frees MyStreamData here)."""
         self._conv = None
+        self._closed = True
+        if self._driver is not None:
+            try:
+                self._driver._streams.remove(self)
+            except ValueError:
+                pass
+            self._driver = None
 
 
 class CodecDriver:
@@ -169,7 +181,10 @@ class CodecDriver:
     def stream_open(self, src, dst) -> StreamInstance:
         """Validate the pair and build a converter (stream_open,
         AC3ACM.cpp:1856-2105).  Sample rates must match — the reference
-        refuses resampling conversions (AC3ACM.cpp:1875-1889)."""
+        refuses resampling conversions (AC3ACM.cpp:1875-1889) — and the
+        channel layouts must be a pair the converters actually produce:
+        decode to mono, stereo, or the coded channel count; encode with
+        the PCM channel count the AC-3 format will code."""
         if not (self.is_valid(src) and self.is_valid(dst)):
             raise ValueError(f"invalid conversion pair {src} -> {dst}")
         if src.sample_rate != dst.sample_rate:
@@ -179,7 +194,21 @@ class CodecDriver:
         if same_type and src != dst:
             raise ValueError(f"same-type pair must match exactly for "
                              f"stream_copy: {src} != {dst}")
+        if isinstance(src, Ac3Format) and isinstance(dst, PcmFormat):
+            if dst.channels not in (1, 2, src.channels):
+                raise ValueError(
+                    f"decode to {dst.channels} ch unsupported for a "
+                    f"{src.channels}-ch stream (mono/stereo/native only)")
+            if dst.channels > 2 and not self.cfg.multichannel:
+                raise ValueError("multichannel output disabled by config "
+                                 "(MULTICHANNEL flag)")
+        if isinstance(src, PcmFormat) and isinstance(dst, Ac3Format):
+            if src.channels != dst.channels:
+                raise ValueError(
+                    f"encode channel mismatch: {src.channels}-ch PCM -> "
+                    f"{dst.channels}-ch AC-3")
         inst = StreamInstance(src, dst, self.cfg)
+        inst._driver = self
         self._streams.append(inst)
         return inst
 
@@ -201,7 +230,7 @@ class CodecDriver:
         self.cfg.save(p)
 
     def close(self):
-        for s in self._streams:
+        for s in list(self._streams):     # s.close() deregisters itself
             s.close()
         self._streams.clear()
         log.info("driver close")

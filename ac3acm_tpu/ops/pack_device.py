@@ -245,6 +245,7 @@ def _xor_reduce(x):
 # the packer
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=16)
 def pack_frames_device(cfg):
     """Build the jitted device packer for `cfg`.
 

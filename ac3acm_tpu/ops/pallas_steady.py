@@ -86,15 +86,23 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
     """
     w_long, win, win_r, rev = _consts()
     B, P, n, _ = freq.shape
+    budget = 10 * 2 ** 20     # ~16 B/coefficient through VMEM (freq in +
+    #                           zd + dfold + i16 out), under ~16 MB/core
     if bb is None:
-        # ~16 B/coefficient through VMEM (freq in + zd + dfold + i16 out,
-        # double-buffered); stay well under the ~16 MB/core budget
-        for cand in (8, 4, 2, 1):
-            if B % cand == 0 and cand * P * n * 256 * 16 <= 10 * 2 ** 20:
-                bb = cand
-                break
-        else:
-            bb = 1
+        bb = next((c for c in (8, 4, 2, 1)
+                   if B % c == 0 and c * P * n * 256 * 16 <= budget), None)
+        if bb is None and P > 1:
+            # even one stream's P planes overflow VMEM: planes are
+            # independent up to the output relayout, so fold them into the
+            # stream axis and recurse at P=1
+            pcm, dlast = fused_steady(
+                freq.reshape(B * P, 1, n, 256),
+                d0.reshape(B * P, 1, 128),
+                jnp.repeat(bias, P, axis=0))
+            pcm = pcm.reshape(B, P, n, 256).swapaxes(1, 2)
+            return pcm, dlast.reshape(B, P, 128)
+        if bb is None:
+            bb = 1            # single plane over budget: let Mosaic try
     assert B % bb == 0
     # Mosaic wants (8, 128)-aligned trailing block dims: the tiny per-plane
     # carry rows ride in 8-row sublane tiles (row 0 is the data)

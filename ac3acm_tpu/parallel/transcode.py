@@ -104,7 +104,6 @@ class Transcoder:
     def __init__(self, batch: int, out_bitrate: int, out_channels: int,
                  sample_rate: int = 48000, mesh=None, pack: str = "device"):
         from ..models.encoder import make_config
-        from ..ops.pack_device import pack_frames_device
         self.batch = batch
         self.enc_cfg = make_config(sample_rate, out_bitrate, out_channels)
         self.mesh = mesh
@@ -112,19 +111,15 @@ class Transcoder:
         self.enc_csnr = jnp.full((batch,), 40, jnp.int32)
         self.out_channels = out_channels
         assert pack in ("device", "native")
-        self._pack_fn = pack_frames_device(self.enc_cfg) \
-            if pack == "device" else None
+        # device packing happens inside the fused encode+pack dispatch
+        # (encode_pipeline_packed); no standalone packer is built here
+        self._pack_device = pack == "device"
         self._bd = None          # lazy decoder pool (owns the dec carry)
 
     def _pack(self, enc) -> list[bytes]:
-        """enc fields [B, ...] or [F, B, ...] -> flat C-order frame list."""
+        """enc fields [B, ...] or [F, B, ...] -> flat C-order frame list
+        (native host packing path)."""
         from ..host import pack as PK
-        if self._pack_fn is not None:
-            fr = np.asarray(self._pack_fn(
-                enc["bap"], enc["qmant"], enc["enc_exp"], enc["strat"],
-                enc["csnroffst"], enc["fsnroffst"]))
-            fr = fr.reshape(-1, fr.shape[-1])
-            return [fr[i].tobytes() for i in range(fr.shape[0])]
         enc_h = {k: np.asarray(v) for k, v in enc.items()}
         return PK.pack_frames_native(self.enc_cfg, enc_h)
 
@@ -167,12 +162,18 @@ class Transcoder:
         # decoder plane order ([lfe] + fbw) -> AC-3 coded order (lfe last)
         perm = list(range(1, nch)) + [0] if nch == 6 else list(range(nch))
         samples = _enc_input(tuple(perm), F)(pcm)
-        if self._pack_fn is not None:
+        if self._pack_device:
             # fused encode+pack: one dispatch, frames leave as bytes
             from ..models.encoder import encode_pipeline_packed
             fn = encode_pipeline_packed(self.enc_cfg)
-            (last, csnr), _ok, fr = fn(samples, self.enc_last,
-                                       self.enc_csnr)
+            (last, csnr), ok_d, fr = fn(samples, self.enc_last,
+                                        self.enc_csnr)
+            ok = np.asarray(ok_d)
+            if not ok.all():
+                bad = np.argwhere(~ok)
+                raise RuntimeError(
+                    f"rate control failed at (frame,stream) "
+                    f"{bad[:8].tolist()} -- out_bitrate too low")
             self.enc_last, self.enc_csnr = last, csnr
             fr = np.asarray(fr)
             return [b"".join(fr[f, b].tobytes() for f in range(nframes))

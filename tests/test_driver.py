@@ -43,6 +43,21 @@ def test_stream_open_validation():
         drv.stream_open(Ac3Format(2, 48000, 192), PcmFormat(2, 44100))
     with pytest.raises(ValueError):                 # same-type must be equal
         drv.stream_open(Ac3Format(2, 48000, 192), Ac3Format(2, 48000, 256))
+    with pytest.raises(ValueError):    # decode 5.1 -> 4ch: not a converter
+        drv.stream_open(Ac3Format(6, 48000, 448), PcmFormat(4, 48000))
+    with pytest.raises(ValueError):    # encode channel mismatch
+        drv.stream_open(PcmFormat(4, 48000), Ac3Format(2, 48000, 192))
+    with pytest.raises(ValueError):    # multichannel disabled by config
+        CodecDriver(cfg=CodecConfig(multichannel=False)).stream_open(
+            Ac3Format(6, 48000, 448), PcmFormat(6, 48000))
+    # native-channel decode is a valid pair
+    s = drv.stream_open(Ac3Format(6, 48000, 448), PcmFormat(6, 48000))
+    assert s.mode == "decode"
+    # close() deregisters and blocks further use
+    s.close()
+    assert s not in drv._streams
+    with pytest.raises(RuntimeError):
+        s.convert(b"\x0b\x77")
 
 
 def test_stream_decode_encode_copy_roundtrip():

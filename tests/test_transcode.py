@@ -1,6 +1,8 @@
 """Transcode pipeline (config 5): 5.1 AC-3 -> stereo AC-3 re-encode."""
 import os
 
+import pytest
+
 import numpy as np
 
 import ac3acm_tpu.tables as T
@@ -64,6 +66,17 @@ def test_transcode_51_to_stereo():
     ref_snr = snr_vs_direct(ref_out)
     assert snr >= ref_snr - 0.1, (snr, ref_snr)
     assert snr > 10.0, snr
+
+
+def test_transcode_rate_control_failure_raises():
+    """A re-encode bitrate too low for the content must raise, not emit
+    frames whose rate-control never converged (the fused packed path must
+    check the ok mask like the unfused one)."""
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)[:2]
+    tc = Transcoder(batch=2, out_bitrate=32000, out_channels=2)
+    with pytest.raises(RuntimeError):
+        tc.step_frames([b"".join(frames)] * 2, len(frames))
 
 
 def test_batched_encoder_matches_reference():
