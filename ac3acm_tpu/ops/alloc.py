@@ -7,7 +7,7 @@ bit-for-bit against liba52's a52_bit_allocate), restructured for the VPU:
     23-step vectorized fold over a [.., 50, 24] padded layout,
   * the leak/excitation recursion: a lax.scan over the 50 bands carrying
     (fastleak, slowleak, lowcomp, startup-state) per batch element,
-  * mask -> bap: pure gathers.
+  * mask -> bap: monotone-table compare-accumulates (gathers are slow).
 
 The encoder's rate-control evaluates the *mask-independent* part once and
 then maps mask -> bap -> bit cost for all 64 coarse x 16 fine SNR offsets

@@ -128,6 +128,8 @@ def test_native_packer_byte_identity(nch, freq, kbps):
 
 @pytest.mark.parametrize("nch,freq,kbps", [
     (2, 48000, 192), (6, 48000, 640), (2, 44100, 128), (1, 32000, 96),
+    (3, 48000, 256), (4, 48000, 384), (5, 48000, 448), (6, 44100, 448),
+    (1, 48000, 64), (2, 48000, 640),
 ])
 def test_device_packer_byte_identity(nch, freq, kbps):
     """The on-device bit packer (ops/pack_device.py) emits byte-identical
