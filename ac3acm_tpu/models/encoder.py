@@ -218,10 +218,28 @@ def encode_pipeline_packed(cfg: EncoderConfig):
 
     The dense frame fields (qmant/exp/bap) never leave the chip and the
     host never syncs between the encode and pack stages -- only the ok
-    mask and the finished serial frames come back."""
+    mask and the finished serial frames come back.
+
+    On CPU the two stages stay separate programs (same results, one extra
+    dispatch): the fused module duplicates fusions the unfused programs
+    already have compiled, and XLA:CPU keeps ~3 memory mappings live per
+    JIT'd fusion -- long test sessions exhaust vm.max_map_count and
+    segfault mid-compile, so CPU runs reuse the existing programs."""
     from ..ops.pack_device import pack_frames_device
-    run = _frame_body(cfg)
     pack = pack_frames_device(cfg)
+
+    if jax.default_backend() != "tpu":
+        multi = encode_pipeline_multi(cfg)
+
+        def composed(samples, last, csnr):
+            carry, enc = multi(samples, last, csnr)
+            frames = pack(enc["bap"], enc["qmant"], enc["enc_exp"],
+                          enc["strat"], enc["csnroffst"], enc["fsnroffst"])
+            return carry, enc["ok"], frames
+
+        return composed
+
+    run = _frame_body(cfg)
 
     def full(samples, last, csnr):
         def step(carry, pcm):

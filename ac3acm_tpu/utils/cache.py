@@ -1,0 +1,95 @@
+"""Per-machine jit compilation cache directory.
+
+The persistent XLA compile cache key does not cover the host CPU's feature
+set: an XLA:CPU AOT artifact compiled on one machine can be loaded on
+another with different features, where it warns about feature mismatch and
+can crash outright (observed: SIGSEGV in cpu_aot_loader deserialization
+when the compile machine had +prefer-no-scatter/+amx-* and the execution
+host did not).  Since this repo's cache directory is shared between the
+test driver, the judge, and interactive sessions on different hosts,
+partition it by a machine fingerprint so each host only ever loads its own
+artifacts; a new host pays one cold compile and is then warm.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def machine_fingerprint() -> str:
+    parts = []
+    try:
+        import jaxlib
+        parts.append(getattr(jaxlib, "__version__", "?"))
+    except Exception:
+        parts.append("nojaxlib")
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        import platform
+        parts.append(platform.processor() or platform.machine())
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
+def raise_stack_limit(soft_bytes: int = 512 * 2 ** 20) -> None:
+    """Raise the main-thread stack soft limit (default 512 MB).
+
+    Serializing the largest compiled executables (the fused encode+pack
+    pipeline's HLO) recurses deeply enough in the cache writer to overflow
+    the default 8 MB stack -- observed as SIGSEGV inside
+    compilation_cache.put/get_executable_and_time.  The hard limit is
+    normally unlimited, so the soft limit can simply be raised.
+    """
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = soft_bytes if hard == resource.RLIM_INFINITY \
+            else min(soft_bytes, hard)
+        if soft != resource.RLIM_INFINITY and soft < want:
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+    except Exception:
+        pass                      # best effort; platform may refuse
+
+
+def map_count() -> int:
+    """Number of memory mappings of this process (0 if unreadable)."""
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def ensure_map_headroom(want: int = 1 << 20) -> None:
+    """Raise vm.max_map_count when permitted.
+
+    XLA:CPU emits ~3 mappings per JIT'd fusion and never unmaps while the
+    executable lives; a long test session accumulates tens of thousands of
+    maps and dies with SIGSEGV inside compile/serialize when mmap starts
+    failing at the default 65530 limit.  Root containers can simply raise
+    it; otherwise callers should shed executables (jax.clear_caches) when
+    map_count() approaches the ceiling.
+    """
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read())
+        if cur < want:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write(str(want))
+    except OSError:
+        pass
+
+
+def machine_cache_dir(base: str | None = None) -> str:
+    """<repo>/.jax_cache/<fingerprint>, created if missing."""
+    if base is None:
+        base = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    path = os.path.join(base, machine_fingerprint())
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -26,9 +26,18 @@ import os
 import sys
 import time
 
+# the bench runs on the TPU backend, whose cached artifacts are portable
+# across hosts (the same chip serves every session) -- share the top-level
+# cache so driver runs stay warm.  CPU runs (tests, dryrun) use a
+# per-machine subdir instead: XLA:CPU AOT artifacts are feature-set
+# specific and foreign entries can segfault in cpu_aot_loader.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
+
+from ac3acm_tpu.utils.cache import raise_stack_limit  # noqa: E402
+
+raise_stack_limit()       # big executables overflow 8 MB during cache IO
 
 import numpy as np
 

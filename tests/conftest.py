@@ -19,7 +19,41 @@ import jax  # noqa: E402
 # still wins because backend *initialization* is lazy
 jax.config.update("jax_platforms", "cpu")
 
+# per-machine cache subdir: XLA:CPU AOT artifacts are not portable across
+# CPU feature sets (foreign entries warn about SIGILL in cpu_aot_loader)
+from ac3acm_tpu.utils.cache import (ensure_map_headroom,  # noqa: E402
+                                    machine_cache_dir, map_count,
+                                    raise_stack_limit)
+
+raise_stack_limit()
+# XLA:CPU leaks ~3 mmaps per JIT'd fusion for as long as the executable
+# lives; the full suite compiles enough to blow through the default
+# vm.max_map_count=65530 and segfault mid-compile.  Raise the ceiling
+# where permitted; shed executables between modules when close (below).
+ensure_map_headroom()
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                  machine_cache_dir(os.path.join(os.path.dirname(__file__),
+                                                 "..", ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ.get("AC3TPU_CACHE_MIN_COMPILE_S", "1.0")))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _shed_executables_when_maps_high():
+    """Guard against vm.max_map_count exhaustion (SIGSEGV in XLA compile).
+
+    When the ceiling could not be raised (non-root), drop live executables
+    between test modules once the process nears it; recompiles mostly hit
+    the persistent cache."""
+    yield
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            limit = int(f.read())
+    except OSError:
+        limit = 65530
+    if map_count() > limit - 25000:
+        jax.clear_caches()
