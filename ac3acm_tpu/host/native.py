@@ -461,7 +461,7 @@ class DenseBatchParser:
         biasv = np.empty((L, R), np.float32)
         valid = np.empty((L, maxframes), np.uint8)
         premix_ok = np.empty((L, maxframes), np.uint8)
-        meta = np.zeros((L, 8), np.int32)
+        meta = np.zeros((L, maxframes, 8), np.int32)   # per-frame format
         consumed = np.zeros(L, np.int64)
         nframes = np.zeros(L, np.int32)
 

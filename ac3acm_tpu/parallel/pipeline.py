@@ -315,7 +315,8 @@ class BatchedDecoder:
             "bias": r["bias"][lane, s],
             "valid": bool(r["valid"][lane, f]),
             "premix_ok": bool(r["premix_ok"][lane, f]),
-            "meta": r["meta"][lane].copy() if r["meta"][lane][6] else None,
+            "meta": (r["meta"][lane, f].copy()
+                     if r["meta"][lane, f, 6] else None),
         }
 
     def _fmt_from_meta(self, meta):
@@ -369,11 +370,13 @@ class BatchedDecoder:
             nfr = r["nframes"]
             nf = int(nfr.min())
             if nf > 0 and (nfr == nf).all():
-                # heterogeneous lane formats: route through the bucketed
-                # path (one masked batch call per distinct format)
+                # heterogeneous lane formats -- across lanes OR mid-stream
+                # within one lane's emitted frames: route through the
+                # bucketed path (one masked batch call per distinct format)
                 lane_fmts = {
-                    self._fmt_from_meta(r["meta"][i])
-                    for i in range(len(self.lanes)) if r["meta"][i][6]}
+                    self._fmt_from_meta(r["meta"][i, f])
+                    for i in range(len(self.lanes)) for f in range(nf)
+                    if r["meta"][i, f, 6]}
                 if len(lane_fmts) > 1:
                     emit = [[self._frame_slice(r, i, f) for f in range(nf)]
                             for i in range(len(self.lanes))]
@@ -381,12 +384,8 @@ class BatchedDecoder:
                     return self._decode_heterogeneous(emit, valid)
                 # fast path: the parse output is already the batch
                 rows = nf * 6
-                meta = None
-                for i in range(len(self.lanes)):
-                    if r["meta"][i][6]:
-                        meta = r["meta"][i]
-                        break
-                fmt = self._fmt_from_meta(meta)
+                fmt = (next(iter(lane_fmts)) if lane_fmts
+                       else self._fmt_from_meta(None))
                 valid = r["valid"][:, :nf].astype(bool)
                 premix_all = (pp > 0 and fmt.nf_out < fmt.nfchans
                               and bool(r["premix_ok"][:, :nf].all()))

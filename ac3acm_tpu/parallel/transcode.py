@@ -99,7 +99,13 @@ def _enc_input(perm: tuple, F: int):
 
 
 class Transcoder:
-    """N same-format streams: AC-3 in -> AC-3 out (re-encode at new rate)."""
+    """N same-format streams: AC-3 in -> AC-3 out (re-encode at new rate).
+
+    Corrupt input frames follow the decode path's resync semantics
+    (a52dec.c:302-306): the bad lane-frame is masked (decodes as silence,
+    so its re-encoded frame carries zeros) and flagged in `self.ok`
+    [batch, nframes] after each step, instead of failing the whole batch.
+    """
 
     def __init__(self, batch: int, out_bitrate: int, out_channels: int,
                  sample_rate: int = 48000, mesh=None, pack: str = "device"):
@@ -110,6 +116,7 @@ class Transcoder:
         self.enc_last = jnp.zeros((batch, out_channels, 256), jnp.int32)
         self.enc_csnr = jnp.full((batch,), 40, jnp.int32)
         self.out_channels = out_channels
+        self.ok = None           # [batch, nframes] validity of the last step
         assert pack in ("device", "native")
         # device packing happens inside the fused encode+pack dispatch
         # (encode_pipeline_packed); no standalone packer is built here
@@ -153,10 +160,18 @@ class Transcoder:
         r = self._bd.decode_available(max_frames=nframes)
         assert r is not None, "no complete frames in step_frames input"
         pcm, valid = r
-        if not np.asarray(valid).all():
-            raise RuntimeError("corrupt frame in transcode input")
+        # corrupt lane-frames arrive masked (zeroed PCM) from the decoder
+        # pool; record the per-lane mask instead of failing the batch
+        self.ok = np.asarray(valid)
         B = self.batch
         F = pcm.shape[1] // 6
+        if F != nframes:
+            short = [i for i, ln in enumerate(self._bd.lanes)
+                     if len(ln.pending) == 0]
+            raise ValueError(
+                f"step_frames promised {nframes} frames/lane but only {F} "
+                f"complete frames were available on every lane "
+                f"(shortest lanes: {short[:8]})")
         nch = self.out_channels
         assert pcm.shape[2] == nch, (pcm.shape, nch)
         # decoder plane order ([lfe] + fbw) -> AC-3 coded order (lfe last)
@@ -176,7 +191,7 @@ class Transcoder:
                     f"{bad[:8].tolist()} -- out_bitrate too low")
             self.enc_last, self.enc_csnr = last, csnr
             fr = np.asarray(fr)
-            return [b"".join(fr[f, b].tobytes() for f in range(nframes))
+            return [b"".join(fr[f, b].tobytes() for f in range(F))
                     for b in range(self.batch)]
         from ..models.encoder import encode_pipeline_multi
         fn = encode_pipeline_multi(self.enc_cfg)
@@ -184,5 +199,5 @@ class Transcoder:
         self.enc_last, self.enc_csnr = last, csnr
         # [F, B] flattens C-order -> frame f of stream b at index f*B + b
         flat = self._pack(enc)
-        return [b"".join(flat[f * self.batch + b] for f in range(nframes))
+        return [b"".join(flat[f * self.batch + b] for f in range(F))
                 for b in range(self.batch)]

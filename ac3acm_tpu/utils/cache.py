@@ -65,21 +65,31 @@ def map_count() -> int:
 
 
 def ensure_map_headroom(want: int = 1 << 20) -> None:
-    """Raise vm.max_map_count when permitted.
+    """Raise vm.max_map_count when permitted AND explicitly opted in.
 
     XLA:CPU emits ~3 mappings per JIT'd fusion and never unmaps while the
     executable lives; a long test session accumulates tens of thousands of
     maps and dies with SIGSEGV inside compile/serialize when mmap starts
-    failing at the default 65530 limit.  Root containers can simply raise
-    it; otherwise callers should shed executables (jax.clear_caches) when
-    map_count() approaches the ceiling.
+    failing at the default 65530 limit.
+
+    Writing a system-wide kernel tunable from test setup can surprise
+    shared hosts, so the write only happens when AC3TPU_RAISE_MAP_COUNT=1
+    is set (and is logged when it fires).  Without the opt-in, callers
+    shed executables (jax.clear_caches) when map_count() approaches the
+    ceiling -- see tests/conftest.py's autouse fixture.
     """
+    if os.environ.get("AC3TPU_RAISE_MAP_COUNT") != "1":
+        return
     try:
         with open("/proc/sys/vm/max_map_count") as f:
             cur = int(f.read())
         if cur < want:
             with open("/proc/sys/vm/max_map_count", "w") as f:
                 f.write(str(want))
+            import logging
+            logging.getLogger("ac3acm_tpu").info(
+                "raised vm.max_map_count %d -> %d "
+                "(AC3TPU_RAISE_MAP_COUNT=1)", cur, want)
     except OSError:
         pass
 

@@ -1436,8 +1436,11 @@ extern "C" int ac3h_parse_dense(
     float* biasv,            // [maxframes*6]
     uint8_t* valid,          // [maxframes]
     uint8_t* premix_ok,      // [maxframes]
-    int32_t* meta,           // [8]: acmod lfeon output nfchans chanbias
-                             //      slev_zero have_meta reserved
+    int32_t* meta,           // [maxframes, 8]: per-frame acmod lfeon output
+                             //   nfchans chanbias slev_zero have_meta resv
+                             //   (per-frame so a mid-stream format change
+                             //   inside one call keeps correct downmix meta
+                             //   for every frame, like the python parser)
     int64_t* consumed)
 {
     static thread_local FrameOut fo;
@@ -1445,7 +1448,6 @@ extern "C" int ac3h_parse_dense(
     int64_t pos = 0;
     int done = 0;
     int fl, sr, brr;
-    bool have_meta = false;
     while (done < maxframes && pos + 7 <= buflen) {
         int size = ac3h_syncinfo(buf + pos, &fl, &sr, &brr);
         if (size == 0) { pos++; continue; }
@@ -1469,6 +1471,7 @@ extern "C" int ac3h_parse_dense(
             for (int b = 0; b < 6; b++) biasv[row0 + b] = bias;
             valid[done] = 0;
             premix_ok[done] = 1;     // zeros are valid in either layout
+            meta[(int64_t)done * 8 + 6] = 0;
             done++;
             continue;
         }
@@ -1525,19 +1528,16 @@ extern "C" int ac3h_parse_dense(
         }
         valid[done] = 1;
         premix_ok[done] = pre_eligible ? 1 : 0;
-        if (!have_meta) {
-            meta[0] = fo.acmod;
-            meta[1] = fo.lfeon;
-            meta[2] = fo.output;
-            meta[3] = fo.nfchans;
-            meta[4] = fo.chanbias;
-            meta[5] = slev_zero ? 1 : 0;
-            meta[6] = 1;
-            have_meta = true;
-        }
+        int32_t* m = meta + (int64_t)done * 8;
+        m[0] = fo.acmod;
+        m[1] = fo.lfeon;
+        m[2] = fo.output;
+        m[3] = fo.nfchans;
+        m[4] = fo.chanbias;
+        m[5] = slev_zero ? 1 : 0;
+        m[6] = 1;
         done++;
     }
-    if (!have_meta) meta[6] = 0;
     *consumed = pos;
     return done;
 }
@@ -1564,7 +1564,7 @@ extern "C" void ac3h_parse_many(
             biasv + (int64_t)l * rows,
             valid + (int64_t)l * maxframes,
             premix_ok + (int64_t)l * maxframes,
-            meta + (int64_t)l * 8,
+            meta + (int64_t)l * maxframes * 8,
             consumed + l);
     };
     if (nthreads <= 1 || nlanes <= 1) {

@@ -28,8 +28,10 @@ from ac3acm_tpu.utils.cache import (ensure_map_headroom,  # noqa: E402
 raise_stack_limit()
 # XLA:CPU leaks ~3 mmaps per JIT'd fusion for as long as the executable
 # lives; the full suite compiles enough to blow through the default
-# vm.max_map_count=65530 and segfault mid-compile.  Raise the ceiling
-# where permitted; shed executables between modules when close (below).
+# vm.max_map_count=65530 and segfault mid-compile.  The ceiling is only
+# raised when the runner opts in with AC3TPU_RAISE_MAP_COUNT=1 (a global
+# kernel tunable should not change as a test side effect); otherwise the
+# autouse fixture below sheds executables between modules when close.
 ensure_map_headroom()
 
 jax.config.update("jax_compilation_cache_dir",

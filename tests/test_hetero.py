@@ -72,19 +72,24 @@ def test_mixed_format_lanes(parser):
         _pcm_close(pcm[i], ref, ref.shape[1])
 
 
-def test_mid_stream_format_change():
+@pytest.mark.parametrize("parser", ["python", "native"])
+def test_mid_stream_format_change(parser):
     """One lane switches 5.1 -> 2.0 mid-stream while another stays 5.1;
     the changing lane matches its own single-stream decode (the OLA carry
-    survives the re-bucketing)."""
+    survives the re-bucketing).  parser='native' exercises the per-frame
+    meta emitted by ac3h_parse_dense: all frames of one call must carry
+    their own format, not the first frame's."""
     flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
     nfr = 2
     switch = _es("bench_51_448.ac3", nfr) + _es("stereo_192.ac3", nfr)
     steady = _es("bench_51_448.ac3", 2 * nfr)
+    # reference is always the python host pass: the native batch must
+    # match an independent oracle, not merely itself at batch 1
     ref_switch = _single_lane_decode(switch, flags, 2 * nfr)
     ref_steady = _single_lane_decode(steady, flags, 2 * nfr)
 
     from ac3acm_tpu.parallel.pipeline import BatchedDecoder
-    d = BatchedDecoder(2, flags)
+    d = BatchedDecoder(2, flags, parser=parser)
     d.feed(0, switch)
     d.feed(1, steady)
     out = []

@@ -142,3 +142,39 @@ def test_transcoder_step_frames_matches_step():
     b3 = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
     outs3 = b3.step_frames([b"".join(frames)] * batch, len(frames))
     assert outs3 == outs
+
+
+def test_transcode_corrupt_lane_masked():
+    """One corrupted lane in a batch transcode must not kill the step:
+    the clean lanes' outputs are byte-identical to an all-clean run, the
+    bad lane-frame is flagged in Transcoder.ok, and the lane resumes on
+    the next intact frame (a52dec.c:302-306 resync semantics)."""
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)[:3]
+    batch = 4
+    clean = b"".join(frames)
+
+    ref_tc = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    ref_out = ref_tc.step_frames([clean] * batch, len(frames))
+    assert ref_tc.ok.all()
+
+    # corrupt the middle frame of lane 1: syncinfo header stays valid so
+    # the frame is still consumed as one frame, but the side-info is
+    # garbage -> the parser flags the lane-frame invalid (same corruption
+    # as test_batched_decoder.test_native_parser_masks_corrupt_frames)
+    bad = bytearray(frames[1])
+    bad[8:40] = b"\xff" * 32
+    feeds = [clean] * batch
+    feeds[1] = frames[0] + bytes(bad) + frames[2]
+
+    tc = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    out = tc.step_frames(feeds, len(frames))
+    ok = tc.ok
+    assert ok.shape == (batch, len(frames))
+    # clean lanes byte-identical to the all-clean run
+    for b in (0, 2, 3):
+        assert ok[b].all()
+        assert out[b] == ref_out[b]
+    # bad lane: at least one frame flagged, step still returned frames
+    assert not ok[1].all()
+    assert len(out[1]) == len(ref_out[1])
