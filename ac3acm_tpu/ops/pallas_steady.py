@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .filterbank import _mats
 
+# When True, pallas_call runs in interpreter mode -- lets CPU tests
+# exercise the fused-dispatch wiring (tests/test_pallas_steady.py);
+# consulted at trace time, so flip it before building a new pipeline.
+INTERPRET = False
+
 
 @lru_cache(maxsize=1)
 def _consts():
@@ -144,6 +149,7 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
             bytes_accessed=B * P * n * (1024 + 512) + 256 * 384 * 4,
             transcendentals=0,
         ),
+        interpret=INTERPRET,
     )(freq, d0_pad, bias_b8,
       jnp.asarray(w_long), jnp.asarray(win)[None], jnp.asarray(win_r)[None],
       jnp.asarray(rev))

