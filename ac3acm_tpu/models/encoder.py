@@ -174,11 +174,6 @@ def quantize(coef, enc_exp, global_exp, bap):
 # device encode step
 # ---------------------------------------------------------------------------
 
-def _leading_true(fits):
-    """Count of leading True along axis 0."""
-    return jnp.sum(jnp.cumprod(fits.astype(jnp.int32), axis=0), axis=0)
-
-
 @lru_cache(maxsize=16)
 def encode_pipeline(cfg: EncoderConfig):
     """jitted: (samples [B,1536,nch] int (any width), last [B,nch,256] i32,
@@ -388,39 +383,37 @@ def _frame_body(cfg: EncoderConfig):
             snro = (((c - 15) << 4) + f) << 2
             return (avail_total - frame_bits - bits_used(snro)) >= 0
 
-        # --- exact replay of the reference SNR walk ------------------------
-        call = jnp.arange(64, dtype=jnp.int32)
-        fits_c = fits(call[:, None], 0)                   # [64, B]
-        # down: c = start, start-4, ... first fitting (must exist)
-        kdown = jnp.arange(17, dtype=jnp.int32)
-        cdown = csnroffst[None, :] - 4 * kdown[:, None]
-        dfits = jnp.take_along_axis(
-            fits_c, jnp.clip(cdown, 0, 63), axis=0) & (cdown >= 0)
-        k0 = jnp.argmax(dfits, axis=0)
-        ok = jnp.any(dfits, axis=0)
-        c0 = jnp.clip(csnroffst - 4 * k0, 0, 63)
-        # up by 4 while fits
-        j = jnp.arange(1, 17, dtype=jnp.int32)
-        cup = c0[None, :] + 4 * j[:, None]
-        ufits = jnp.take_along_axis(fits_c, jnp.clip(cup, 0, 63), axis=0) \
-            & (cup <= 63)
-        c1 = c0 + 4 * _leading_true(ufits)
-        # up by 1 while fits
-        cup1 = c1[None, :] + j[:, None]
-        u1 = jnp.take_along_axis(fits_c, jnp.clip(cup1, 0, 63), axis=0) \
-            & (cup1 <= 63)
-        cstar = c1 + _leading_true(u1)
-        # fine offset: up by 4 then by 1 within 0..15
-        fall = jnp.arange(16, dtype=jnp.int32)
-        fits_f = fits(cstar[None, :], fall[:, None])      # [16, B]
-        f4 = 4 * j[:4][:, None]                            # 4,8,12,16
-        ff = jnp.take_along_axis(fits_f, jnp.clip(f4 + 0, 0, 15), axis=0) \
-            & (f4 <= 15)
-        f1 = 4 * _leading_true(ff)
-        fup1 = f1[None, :] + j[:, None]
-        ff1 = jnp.take_along_axis(fits_f, jnp.clip(fup1, 0, 15), axis=0) \
-            & (fup1 <= 15)
-        fstar = f1 + _leading_true(ff1)
+        # --- exact replay of the reference SNR walk via monotonicity -------
+        # bits_used is monotone nondecreasing in snroffset (clip & mask-low-
+        # bits preserve order), so the reference's down/up-4/up-1 hill climb
+        # (ac3enc.cpp:918-975) lands exactly at M = max{c : fits(c, 0)} when
+        # the down pass found a fit (ok <=> the lowest reachable lattice
+        # point csnr mod 4 fits <=> M >= csnr & 3), and the fine pass lands
+        # at max{f : fits(cstar, f)}.  Binary search finds both with 12
+        # single-candidate bit-cost evaluations instead of costing the full
+        # 64 x 16 lattice -- byte-identity with the reference encoder is
+        # held by the config-matrix / 19-bitrate tests in test_encoder.py.
+        zero_f = jnp.zeros_like(csnroffst)
+        lo = jnp.full_like(csnroffst, -1)
+        hi = jnp.full_like(csnroffst, 63)
+        for _ in range(7):                    # ceil(log2(65))
+            mid = (lo + hi + 1) >> 1
+            okm = fits(mid, zero_f)
+            lo = jnp.where(okm, mid, lo)
+            hi = jnp.where(okm, hi, mid - 1)
+        M = lo
+        ok = M >= (csnroffst & 3)
+        # !ok replicates the literal walk's fallout (c0=csnr, nothing fits
+        # upward): cstar=csnr -- the caller raises on !ok either way
+        cstar = jnp.where(ok, M, csnroffst)
+        flo = jnp.full_like(csnroffst, -1)
+        fhi = jnp.full_like(csnroffst, 15)
+        for _ in range(5):                    # ceil(log2(17))
+            fmid = (flo + fhi + 1) >> 1
+            okf = fits(cstar, fmid)
+            flo = jnp.where(okf, fmid, flo)
+            fhi = jnp.where(okf, fhi, fmid - 1)
+        fstar = jnp.maximum(flo, 0)
 
         snro = ((((cstar - 15) << 4) + fstar) << 2)
         bap = AL.bap_from_mask(psd, mask, snro[:, None, None, None],

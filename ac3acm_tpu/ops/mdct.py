@@ -88,33 +88,31 @@ def _fft128(re, im):
     re = _ilv4(a0, a1, c0, c1)
     im = _ilv4(b0, b1, d0, d1)
 
-    # passes 2..6
-    np2 = 64
+    # passes 2..6: gather/scatter-free -- each stage's (p, q) lanes are a
+    # pure [nblocks, 2, half] reshape view (position j*2*half + k*half + t),
+    # so the butterflies are strided-slice reads + a stack/reshape write.
+    # TPU lowering: relayouts + elementwise, no serializing scatter.
+    lead = re.shape[:-1]
     for s in range(2, NBITS):
         half = 1 << s                 # butterflies per group
         nblocks = 128 >> (s + 1)
         t = np.arange(half)
         l = (t * nblocks).astype(np.int32)     # twiddle indices, l[0]=0
-        ct = jnp.asarray(costab[l])
+        ct = jnp.asarray(costab[l])            # [half], broadcasts over j
         st = jnp.asarray(sintab[l])
         notw = jnp.asarray(t == 0)
-        # gather p/q lanes: positions j*2*half + t and + half
-        base = (np.arange(nblocks)[:, None] * 2 * half + t[None, :]).ravel()
-        pidx = jnp.asarray(base)
-        qidx = jnp.asarray(base + half)
-        pre, pim = re[..., pidx], im[..., pidx]
-        qre, qim = re[..., qidx], im[..., qidx]
-        ctb = jnp.tile(ct, nblocks)
-        stb = jnp.tile(st, nblocks)
-        nt = jnp.tile(notw, nblocks)
+        re4 = re.reshape(lead + (nblocks, 2, half))
+        im4 = im.reshape(lead + (nblocks, 2, half))
+        pre, qre = re4[..., 0, :], re4[..., 1, :]
+        pim, qim = im4[..., 0, :], im4[..., 1, :]
         # CMUL(tmp, costab[l], -sintab[l], q)
-        tre = (ctb * qre + stb * qim) >> 15
-        tim = (ctb * qim - stb * qre) >> 15
-        tre = jnp.where(nt, qre, tre)
-        tim = jnp.where(nt, qim, tim)
+        tre = (ct * qre + st * qim) >> 15
+        tim = (ct * qim - st * qre) >> 15
+        tre = jnp.where(notw, qre, tre)
+        tim = jnp.where(notw, qim, tim)
         a, b, c, d = bf(pre, pim, tre, tim)
-        re = re.at[..., pidx].set(a).at[..., qidx].set(c)
-        im = im.at[..., pidx].set(b).at[..., qidx].set(d)
+        re = jnp.stack([a, c], axis=-2).reshape(lead + (128,))
+        im = jnp.stack([b, d], axis=-2).reshape(lead + (128,))
     return re, im
 
 
@@ -137,10 +135,10 @@ def mdct512(x):
     # rotation: rot[i] = -x[i+384] (i<128), rot[i] = x[i-128] (i>=128)
     rot = jnp.concatenate([-x[..., 384:], x[..., :384]], axis=-1)
     rot = _wrap16(rot)
-    i = np.arange(128)
-    # pre rotation (ints, no wrap until the CMUL store)
-    reA = (rot[..., 2 * i] - rot[..., 511 - 2 * i]) >> 1
-    imA = (-(rot[..., 256 + 2 * i] - rot[..., 255 - 2 * i])) >> 1
+    # pre rotation (ints, no wrap until the CMUL store); all strided
+    # slices (rot[2i], rot[511-2i], rot[256+2i], rot[255-2i]), no gathers
+    reA = (rot[..., 0:256:2] - rot[..., 257::2][..., ::-1]) >> 1
+    imA = (-(rot[..., 256::2] - rot[..., 1:256:2][..., ::-1])) >> 1
     # CMUL(x.re, x.im, re, im, -xcos1, xsin1) stored to int16
     zre = _wrap16((reA * (-xc) - imA * xs) >> 15)
     zim = _wrap16((reA * xs + (-xc) * imA) >> 15)
@@ -148,10 +146,9 @@ def mdct512(x):
     # post rotation: CMUL(re1, im1, re, im, xsin1, xcos1), full int precision
     re1 = (fre * xs - fim * xc) >> 15
     im1 = (fre * xc + xs * fim) >> 15
-    out = jnp.zeros(x.shape[:-1] + (256,), jnp.int32)
-    out = out.at[..., 2 * i].set(im1)
-    out = out.at[..., 255 - 2 * i].set(re1)
-    return out
+    # out[2i] = im1[i]; out[255-2i] = re1[i]  <=>  out[2j+1] = re1[127-j]:
+    # a single interleave, no scatter
+    return _ilv(im1, re1[..., ::-1])
 
 
 def av_log2(v):

@@ -2,13 +2,18 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding is
 # exercised without TPU hardware.  Must be set before jax import.
-os.environ["JAX_PLATFORMS"] = "cpu"
-# the axon site hook overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# AC3TPU_TEST_TPU=1 keeps the real TPU backend instead (runs the
+# hardware-gated tests, e.g. the Mosaic equivalence gate in
+# test_pallas_steady.py, on TPU CI).
+_USE_TPU = os.environ.get("AC3TPU_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the axon site hook overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # persistent compile cache: CPU scan pipelines take ~1 min each to compile
@@ -17,7 +22,8 @@ import jax  # noqa: E402
 # a site hook may have force-registered a TPU backend before this conftest
 # ran (env JAX_PLATFORMS is consumed at interpreter start); the config knob
 # still wins because backend *initialization* is lazy
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # per-machine cache subdir: XLA:CPU AOT artifacts are not portable across
 # CPU feature sets (foreign entries warn about SIGILL in cpu_aot_loader)
