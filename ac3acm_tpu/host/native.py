@@ -24,6 +24,10 @@ _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _lock = threading.Lock()
 _lib = None
 
+# block-float scale groups per premixed plane (32 bins each); must match
+# native/ac3host.cpp PRE_GROUPS
+PRE_GROUPS = 8
+
 # a52_dynrng user-callback signature: float fn(float range, void* data)
 DYNRNG_CB = C.CFUNCTYPE(C.c_float, C.c_float, C.c_void_p)
 
@@ -413,7 +417,8 @@ def _bind_dense(lib):
         C.POINTER(C.c_void_p), C.c_int,                    # parsers, nlanes
         C.POINTER(C.c_void_p), C.POINTER(C.c_int64),       # bufs, lens
         C.c_int, C.c_int, C.c_float, C.c_float, C.c_int,   # maxframes flags level bias pre_planes
-        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,    # freq_full freq_pre blksw coeff
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,    # freq_full freq_pre pre_man pre_scale
+        C.c_void_p, C.c_void_p,                            # blksw coeff
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,    # remat biasv valid premix_ok
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int,       # meta consumed nframes nthreads
     ]
@@ -448,13 +453,23 @@ class DenseBatchParser:
         self._parsers = []
 
     def parse(self, bufs, maxframes: int, flags: int, level: float = 1.0,
-              bias: float = 0.0, pre_planes: int = 0):
-        """bufs: list of (bytes-like, offset) or bytes-like per lane."""
+              bias: float = 0.0, pre_planes: int = 0,
+              compact: bool = False):
+        """bufs: list of (bytes-like, offset) or bytes-like per lane.
+
+        compact=True additionally emits the premixed planes in block-float
+        form -- int16 mantissas ("freq_man") + one f32 scale per
+        (block, plane, 32-bin group) ("freq_scale"), freq = man * scale --
+        halving the bytes the decode pipeline has to ship to the device."""
         L, R = self.nlanes, maxframes * 6
         assert len(bufs) == L
         freq_full = np.empty((L, R, 6, 256), np.float32)
         freq_pre = (np.empty((L, R, pre_planes, 256), np.float32)
                     if pre_planes else None)
+        pre_man = (np.empty((L, R, pre_planes, 256), np.int16)
+                   if pre_planes and compact else None)
+        pre_scale = (np.empty((L, R, pre_planes, PRE_GROUPS), np.float32)
+                     if pre_planes and compact else None)
         blksw = np.empty((L, R, 5), np.uint8)
         coeff = np.empty((L, R, 5), np.float32)
         remat = np.empty((L, R, 256), np.uint8)
@@ -481,11 +496,13 @@ class DenseBatchParser:
         addr = lambda a: C.c_void_p(0 if a is None else a.ctypes.data)
         self.lib.ac3h_parse_many(
             pp, L, pbuf, plen, maxframes, flags, level, bias, pre_planes,
-            addr(freq_full), addr(freq_pre), addr(blksw), addr(coeff),
+            addr(freq_full), addr(freq_pre), addr(pre_man),
+            addr(pre_scale), addr(blksw), addr(coeff),
             addr(remat), addr(biasv), addr(valid), addr(premix_ok),
             addr(meta), addr(consumed), addr(nframes), self.nthreads)
         return {
             "freq_full": freq_full, "freq_pre": freq_pre,
+            "freq_man": pre_man, "freq_scale": pre_scale,
             "blksw": blksw, "coeff": coeff, "remat": remat, "bias": biasv,
             "valid": valid, "premix_ok": premix_ok, "meta": meta,
             "consumed": consumed, "nframes": nframes,

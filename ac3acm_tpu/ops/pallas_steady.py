@@ -43,6 +43,11 @@ from .filterbank import _mats
 # consulted at trace time, so flip it before building a new pipeline.
 INTERPRET = False
 
+# Main-matmul MXU precision (trace-time knob).  HIGHEST = 6-pass bf16
+# (f32-exact products); HIGH = 3-pass.  The reversal matmul is pinned at
+# HIGHEST regardless: its {0,1} operand must permute exactly.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 @lru_cache(maxsize=1)
 def _consts():
@@ -55,32 +60,48 @@ def _consts():
 
 def _kernel(freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref, rev_ref,
             out_ref, dlast_ref):
-    BB, P, n, _ = freq_ref.shape
-    zd = jnp.dot(freq_ref[:].reshape(BB * P * n, 256), w_ref[:],
+    # everything stays in the pipeline's block-major [BB, n, P, 256]
+    # layout: the matmul is row-order agnostic, the OLA chain slices the
+    # n axis, and the int16 PCM is stored in its final layout -- no HBM
+    # transposes on either side of the kernel (the [B,n,P,256] <->
+    # [B,P,n,256] relayouts cost ~10 GB of HBM traffic at bench batch)
+    BB, n, P, _ = freq_ref.shape
+    R = BB * n * P
+    zd = jnp.dot(freq_ref[:].reshape(R, 256), w_ref[:],
                  preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)       # [BB*P*n, 384]
-    zd = zd.reshape(BB, P, n, 384)
-    z = zd[..., :256]
-    d = zd[..., 256:]                                        # [BB, P, n, 128]
-    dchain = jnp.concatenate([d0_ref[:, :, :1], d[:, :, :-1]], axis=2)
-    drev = jnp.dot(dchain.reshape(BB * P * n, 128), rev_ref[:],
+                 precision=MATMUL_PRECISION)                # [R, 384]
+    z = zd[:, :256]
+    d = zd[:, 256:]                                          # [R, 128]
+    d4 = d.reshape(BB, n, P, 128)
+    dchain = jnp.concatenate([d0_ref[:, :1], d4[:, :-1]], axis=1)
+    dchain2 = dchain.reshape(R, 128)
+    drev = jnp.dot(dchain2, rev_ref[:],
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)      # exact reversal
-    dfold = jnp.concatenate([dchain, drev.reshape(BB, P, n, 128)], axis=-1)
-    bias = bias_ref[:, 0][:, None, :, None]                  # [BB, 1, n, 1]
-    out = z * win_ref[0] + dfold * winr_ref[0] + bias
+    dfold = jnp.concatenate([dchain2, drev], axis=1)         # [R, 256]
+    # bias arrives pre-broadcast as one f32 per output row ([R, 1]): a
+    # [bb, n] -> [bb, n, 1, 1] broadcast would move n from lanes to a
+    # batch dim, which Mosaic cannot relayout in-kernel
+    out = z * win_ref[0] + dfold * winr_ref[0] + bias_ref[:]
     x = (out - 384.0) * 32768.0
-    out_ref[:] = jnp.clip(
-        jnp.round(x), -32768.0, 32767.0).astype(jnp.int16)
-    # d[:, :, -1] as a negative index lowers to dynamic_slice (unsupported
-    # on Mosaic TC); slice the last row statically instead
-    dlast_ref[:] = jnp.broadcast_to(
-        d[:, :, n - 1:n], (BB, P, 8, 128))
+    i16 = jnp.clip(jnp.round(x), -32768.0, 32767.0).astype(jnp.int16)
+    out_ref[:] = i16.reshape(BB, n, P, 256)
+    # the carry-out is d's LAST row; the output tile is 8 sublanes, and a
+    # 1-row -> 8-row vector.broadcast fails to lower on Mosaic for some n,
+    # so fill the tile with the last 8 rows (n >= 8: static slice) or a
+    # row-tiled copy (n < 8); the wrapper slices the row holding d[n-1]
+    if n >= 8:
+        dlast_ref[:] = d4[:, n - 8:n]          # d[n-1] at row 7
+    else:
+        reps = -(-8 // n)
+        tiled = jnp.concatenate([d4] * reps, axis=1)[:, :8]
+        dlast_ref[:] = tiled                   # d[n-1] at row n-1
 
 
 def fused_steady(freq, d0, bias, bb: int | None = None):
-    """freq [B, P, n, 256] premixed long-only planes; d0 [B, P, 128] carry;
-    bias [B, n] (the per-block state bias, 384.0 normally).
+    """freq [B, n, P, 256] premixed long-only planes in the pipeline's
+    block-major layout; d0 [B, P, 128] carry; bias [B, n] (the per-block
+    state bias, 384.0 normally).
 
     -> (pcm int16 [B, n, P, 256], d_last [B, P, 128])
 
@@ -90,7 +111,7 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
     dividing B that keeps the instance's VMEM footprint in budget).
     """
     w_long, win, win_r, rev = _consts()
-    B, P, n, _ = freq.shape
+    B, n, P, _ = freq.shape
     budget = 10 * 2 ** 20     # ~16 B/coefficient through VMEM (freq in +
     #                           zd + dfold + i16 out), under ~16 MB/core
     if bb is None:
@@ -99,31 +120,34 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
         if bb is None and P > 1:
             # even one stream's P planes overflow VMEM: planes are
             # independent up to the output relayout, so fold them into the
-            # stream axis and recurse at P=1
+            # stream axis and recurse at P=1 (rare: only for very long
+            # chunks, where the one-off relayout is amortized)
             pcm, dlast = fused_steady(
-                freq.reshape(B * P, 1, n, 256),
+                jnp.moveaxis(freq, 2, 1).reshape(B * P, n, 1, 256),
                 d0.reshape(B * P, 1, 128),
                 jnp.repeat(bias, P, axis=0))
-            pcm = pcm.reshape(B, P, n, 256).swapaxes(1, 2)
+            pcm = jnp.moveaxis(pcm.reshape(B, P, n, 256), 1, 2)
             return pcm, dlast.reshape(B, P, 128)
         if bb is None:
             bb = 1            # single plane over budget: let Mosaic try
     assert B % bb == 0
     # Mosaic wants (8, 128)-aligned trailing block dims: the tiny per-plane
     # carry rows ride in 8-row sublane tiles (row 0 is the data)
-    d0_pad = jnp.broadcast_to(d0[:, :, None, :], (B, P, 8, 128))
-    bias_b8 = jnp.broadcast_to(bias[:, None, :], (B, 8, n))
+    d0_pad = jnp.broadcast_to(d0[:, None], (B, 8, P, 128))
+    # one bias value per output row (b, n, p) -- see the kernel comment
+    bias_rows = jnp.broadcast_to(bias[:, :, None],
+                                 (B, n, P)).reshape(B * n * P, 1)
 
     grid = (B // bb,)
     out, dlast = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, P, n, 256), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, n, P, 256), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, P, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, 8, P, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 8, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb * n * P, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 384), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -135,14 +159,14 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, P, n, 256), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, n, P, 256), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, P, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, 8, P, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, P, n, 256), jnp.int16),
-            jax.ShapeDtypeStruct((B, P, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, P, 256), jnp.int16),
+            jax.ShapeDtypeStruct((B, 8, P, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * P * n * 256 * 384,
@@ -150,8 +174,9 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(freq, d0_pad, bias_b8,
+    )(freq, d0_pad, bias_rows,
       jnp.asarray(w_long), jnp.asarray(win)[None], jnp.asarray(win_r)[None],
       jnp.asarray(rev))
-    # [B, P, n, 256] -> the pipeline's [B, n, P, 256] block-major layout
-    return jnp.swapaxes(out, 1, 2), dlast[:, :, 0, :]
+    # the carry-out row matches the kernel's dlast tile fill (see _kernel)
+    row = 7 if n >= 8 else n - 1
+    return out, dlast[:, row]

@@ -255,9 +255,9 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
                   for i in range(batch)]
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
-    def cycle(fetch):
+    def cycle(fetch, compact=False):
         dec = BatchedDecoder(batch, flags, bias=384.0, emit_int16=True,
-                             parser="native")
+                             parser="native", compact_h2d=compact)
         for i in range(batch):
             dec.feed(i, lane_bytes[i])
         prev = None
@@ -277,15 +277,76 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
         return nfr
 
     out = {}
-    for mode, fetch in (("null", False), ("fetch", True)):
-        n = cycle(fetch)                      # warmup incl. compile
+    for mode, fetch, compact in (("null", False, False),
+                                 ("fetch", True, False),
+                                 ("null_compact", False, True),
+                                 ("fetch_compact", True, True)):
+        n = cycle(fetch, compact)             # warmup incl. compile
         t0 = time.perf_counter()
-        n = cycle(fetch)
+        n = cycle(fetch, compact)
         dt = time.perf_counter() - t0
         xrt = batch * n * 6 * 256 / 48000.0 / dt
         log(f"config2 e2e bytes->PCM [{mode} sink]: {batch} lanes x {n} "
             f"frames in {dt * 1000:.0f} ms -> {xrt:.0f}x realtime")
         out[mode] = round(xrt, 1)
+    # auditable transfer accounting (stereo premix, P=2 planes):
+    # f32 planes vs block-float mantissas + per-32-bin-group scales
+    P_pl = 2
+    out["h2d_bytes_per_frame_f32"] = 6 * (P_pl * 256 * 4 + 5 + 4)
+    out["h2d_bytes_per_frame_compact"] = 6 * (P_pl * 256 * 2
+                                              + P_pl * 8 * 4 + 5 + 4)
+    return out
+
+
+def bench_hetero(batch, chunk_frames=8, nchunks=3):
+    """Mixed-format batch: 50% 5.1->2.0 lanes + 50% 2.0 lanes, through the
+    bucketed heterogeneous dispatch (VERDICT r2 #7).  Reported next to the
+    homogeneous halves so the bucket-sum claim is auditable: mixed cost
+    should approximate the sum of the two buckets' costs, not
+    formats x full-batch."""
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.parallel.pipeline import BatchedDecoder
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    total = chunk_frames * nchunks
+    es51 = golden_es()
+    es20 = golden_es("stereo_192.ac3")
+    fr51 = frames_of(es51, total + 2)
+    fr20 = frames_of(es20, total + 2)
+
+    def feed_fn(kind):
+        def lanes(i):
+            base = fr51 if kind[i] else fr20
+            rot = i % 8
+            return b"".join(base[rot:] + base[:rot])
+        return lanes
+
+    def cycle(kind):
+        dec = BatchedDecoder(batch, flags, bias=384.0, emit_int16=True,
+                             parser="native")
+        lanes = feed_fn(kind)
+        for i in range(batch):
+            dec.feed(i, lanes(i))
+        nfr = 0
+        for _ in range(nchunks):
+            r = dec.decode_available(max_frames=chunk_frames)
+            if r is None:
+                break
+            nfr += r[1].shape[1]
+            _ = np.asarray(r[0][:, -1, :, -1])      # consume (small fetch)
+        return nfr
+
+    out = {}
+    for name, kind in (("all_51", [True] * batch),
+                       ("all_20", [False] * batch),
+                       ("mixed", [i % 2 == 0 for i in range(batch)])):
+        n = cycle(kind)                              # warmup incl. compile
+        t0 = time.perf_counter()
+        n = cycle(kind)
+        dt = time.perf_counter() - t0
+        xrt = batch * n * 6 * 256 / 48000.0 / dt
+        log(f"hetero [{name}]: {batch} lanes x {n} frames in "
+            f"{dt * 1000:.0f} ms -> {xrt:.0f}x realtime")
+        out[name] = round(xrt, 1)
     return out
 
 
@@ -305,9 +366,10 @@ def bench_host_parse():
         d2.parse([big] * L, F, flags, 1.0, 384.0, pre_planes=2)
     dt = time.perf_counter() - t0
     xrt = (L * F * reps * 0.032) / dt
-    log(f"host parse+premix: {dt / (L * F * reps) * 1e6:.1f} us/frame "
+    us_frame = dt / (L * F * reps) * 1e6
+    log(f"host parse+premix: {us_frame:.1f} us/frame "
         f"({xrt:.0f}x realtime/core)")
-    return round(xrt, 1)
+    return round(xrt, 1), round(us_frame, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +390,37 @@ def _encode_pcm(channels: int, nframes: int):
     flat = np.tile(flat, (reps, 1))[:need]
     chans = [flat[:, i % 2] * (1.0 - 0.05 * i) for i in range(channels)]
     return np.stack(chans, -1).astype(np.int16)
+
+
+def bench_encode_device(batch, nframes, bitrate, channels, label):
+    """Device-side encode throughput: inputs staged in HBM, fused
+    encode+pack dispatch (encode_pipeline_packed), checksum barrier on the
+    finished frames.  This is the chip capability number behind the e2e
+    figures (which add host IO + the ~32 MB/s tunnel on this harness)."""
+    import jax
+    import jax.numpy as jnp
+    from ac3acm_tpu.models.encoder import (encode_pipeline_packed,
+                                           make_config)
+    cfg = make_config(48000, bitrate * 1000, channels)
+    pcm = _encode_pcm(channels, nframes)                 # [n, ch] int16
+    frames = np.asarray(pcm, np.int16).reshape(nframes, 1536, channels)
+    dev = jax.jit(lambda x: jnp.broadcast_to(
+        x[:, None], (nframes, batch, 1536, channels)).copy())(
+        jnp.asarray(frames))
+    fn = encode_pipeline_packed(cfg)
+    chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    state = {"last": jnp.zeros((batch, channels, 256), jnp.int32),
+             "csnr": jnp.full((batch,), 40, jnp.int32)}
+
+    def run():
+        (state["last"], state["csnr"]), ok, fr = fn(dev, state["last"],
+                                                    state["csnr"])
+        _ = int(chk(fr))
+    dt, times = best_of(run, warmup=2, reps=5)
+    xrt = batch * nframes * 1536 / 48000.0 / dt
+    log(f"{label}: {batch} x {nframes}f, best {dt * 1000:.0f} ms "
+        f"({[round(t * 1000) for t in times]}), {xrt:.0f}x realtime")
+    return round(xrt, 1)
 
 
 def bench_encode(batch, nframes, bitrate, channels, label):
@@ -376,7 +469,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
     nframes = int(os.environ.get("BENCH_FRAMES", "64"))
     e2e_batch = int(os.environ.get("BENCH_E2E_BATCH", "256"))
-    which = os.environ.get("BENCH_CONFIGS", "1,2,e2e,3,4,5").split(",")
+    which = os.environ.get("BENCH_CONFIGS",
+                           "1,2,e2e,3,4,5,hetero").split(",")
     if len(sys.argv) > 1 and sys.argv[1] == "--e2e":
         which = ["e2e"]
 
@@ -393,16 +487,32 @@ def main():
         e2e = bench_config2_e2e(e2e_batch, 24)
         configs["c2_e2e_bytes_to_pcm_null_sink_xrt"] = e2e["null"]
         configs["c2_e2e_bytes_to_pcm_fetch_xrt"] = e2e["fetch"]
-        configs["e2e_host_parse_xrt_per_core"] = bench_host_parse()
+        configs["c2_e2e_compact_null_sink_xrt"] = e2e["null_compact"]
+        configs["c2_e2e_compact_fetch_xrt"] = e2e["fetch_compact"]
+        configs["h2d_bytes_per_frame_f32"] = e2e["h2d_bytes_per_frame_f32"]
+        configs["h2d_bytes_per_frame_compact"] = \
+            e2e["h2d_bytes_per_frame_compact"]
+        parse_xrt, parse_us = bench_host_parse()
+        configs["e2e_host_parse_xrt_per_core"] = parse_xrt
+        configs["host_us_per_frame"] = parse_us
         configs["host_cores"] = os.cpu_count()
     if "3" in which:
         configs["c3_stereo_encode_192k_xrt"] = \
             bench_encode(256, 16, 192, 2, "config3 stereo encode")
+        configs["c3_device_xrt"] = bench_encode_device(
+            1024, 8, 192, 2, "config3 device-side stereo encode")
     if "4" in which:
         configs["c4_51_encode_640k_xrt"] = \
             bench_encode(256, 8, 640, 6, "config4 5.1 encode")
+        configs["c4_device_xrt"] = bench_encode_device(
+            512, 8, 640, 6, "config4 device-side 5.1 encode")
     if "5" in which:
         configs["c5_transcode_1024_xrt"] = bench_config5(1024, 4)
+    if "hetero" in which:
+        het = bench_hetero(int(os.environ.get("BENCH_HETERO_BATCH", "256")))
+        configs["hetero_all_51_xrt"] = het["all_51"]
+        configs["hetero_all_20_xrt"] = het["all_20"]
+        configs["hetero_mixed_50_50_xrt"] = het["mixed"]
 
     headline = configs.get("c2_batched_decode_device_xrt")
     if headline is None:

@@ -1418,6 +1418,10 @@ extern "C" void ac3h_dec_get_delay(NativeDecoder* d, float* out, int* dmx) {
 #include <atomic>
 #include <thread>
 
+// block-float scale groups per premixed plane (32 bins each); must match
+// ac3acm_tpu/host/native.py PRE_GROUPS and pipeline._expand_compact
+static const int PRE_GROUPS = 8;
+
 // rows are blocks: row = frame * 6 + blk
 struct DenseStride {
     int64_t full;      // floats per lane in freq_full
@@ -1430,6 +1434,12 @@ extern "C" int ac3h_parse_dense(
     int flags, float level, float bias, int pre_planes,
     float* freq_full,        // [maxframes*6, 6, 256]
     float* freq_pre,         // [maxframes*6, pre_planes, 256] or null
+    int16_t* pre_man,        // [maxframes*6, pre_planes, 256] or null:
+                             //   block-float mantissas of freq_pre (compact
+                             //   H2D: 2 B/coef instead of 4)
+    float* pre_scale,        // [maxframes*6, pre_planes, PRE_GROUPS] or
+                             //   null: per-32-bin-group scale;
+                             //   freq = man * scale
     uint8_t* blksw,          // [maxframes*6, 5]
     float* coeff,            // [maxframes*6, 5]
     uint8_t* remat,          // [maxframes*6, 256]
@@ -1465,6 +1475,12 @@ extern "C" int ac3h_parse_dense(
             if (freq_pre)
                 memset(freq_pre + row0 * pre_planes * 256, 0,
                        (size_t)(6 * pre_planes * 256) * 4);
+            if (pre_man) {
+                memset(pre_man + row0 * pre_planes * 256, 0,
+                       (size_t)(6 * pre_planes * 256) * 2);
+                memset(pre_scale + row0 * pre_planes * PRE_GROUPS, 0,
+                       (size_t)(6 * pre_planes * PRE_GROUPS) * 4);
+            }
             memset(blksw + row0 * 5, 0, 30);
             memset(coeff + row0 * 5, 0, 120);
             memset(remat + row0 * 256, 0, 6 * 256);
@@ -1524,6 +1540,44 @@ extern "C" int ac3h_parse_dense(
                 mix_run<FloatOps>(prog, planes, 256, 0.0f);
                 if (lfe)                         // LFE plane comes last
                     memcpy(fp + nf_out * 256, ff + 5 * 256, 1024);
+                if (pre_man) {
+                    // block-float: one shared exponent per 32-bin group
+                    // (spectra decay steeply, so a per-plane exponent
+                    // would quantize the high bins against the plane max
+                    // and drift the PCM by several LSB); with per-group
+                    // scales the device reconstruction stays within
+                    // 1 int16 LSB of the f32 planes (gated in
+                    // tests/test_native_decoder.py::test_compact_h2d)
+                    int16_t* mp = pre_man + row * pre_planes * 256;
+                    float* sp = pre_scale + row * pre_planes * PRE_GROUPS;
+                    for (int p = 0; p < pre_planes; p++) {
+                        for (int g = 0; g < PRE_GROUPS; g++) {
+                            const int gw = 256 / PRE_GROUPS;
+                            const float* v = fp + p * 256 + g * gw;
+                            int16_t* m16 = mp + p * 256 + g * gw;
+                            float amax = 0.f;
+                            for (int i = 0; i < gw; i++) {
+                                float a = fabsf(v[i]);
+                                if (a > amax) amax = a;
+                            }
+                            if (amax == 0.f) {
+                                memset(m16, 0, gw * 2);
+                                sp[p * PRE_GROUPS + g] = 0.f;
+                                continue;
+                            }
+                            int e;
+                            frexpf(amax, &e);      // amax = m*2^e, m<1
+                            float sc = ldexpf(1.f, 15 - e);
+                            for (int i = 0; i < gw; i++) {
+                                long q = lrintf(v[i] * sc);
+                                if (q > 32767) q = 32767;
+                                if (q < -32768) q = -32768;
+                                m16[i] = (int16_t)q;
+                            }
+                            sp[p * PRE_GROUPS + g] = ldexpf(1.f, e - 15);
+                        }
+                    }
+                }
             }
         }
         valid[done] = 1;
@@ -1546,7 +1600,8 @@ extern "C" void ac3h_parse_many(
     void* const* parsers, int nlanes,
     const uint8_t* const* bufs, const int64_t* lens, int maxframes,
     int flags, float level, float bias, int pre_planes,
-    float* freq_full, float* freq_pre, uint8_t* blksw, float* coeff,
+    float* freq_full, float* freq_pre, int16_t* pre_man, float* pre_scale,
+    uint8_t* blksw, float* coeff,
     uint8_t* remat, float* biasv, uint8_t* valid, uint8_t* premix_ok,
     int32_t* meta, int64_t* consumed, int32_t* nframes, int nthreads)
 {
@@ -1558,6 +1613,11 @@ extern "C" void ac3h_parse_many(
             freq_full + (int64_t)l * rows * 6 * 256,
             freq_pre ? freq_pre + (int64_t)l * rows * pre_planes * 256
                      : nullptr,
+            pre_man ? pre_man + (int64_t)l * rows * pre_planes * 256
+                    : nullptr,
+            pre_scale ? pre_scale
+                        + (int64_t)l * rows * pre_planes * PRE_GROUPS
+                      : nullptr,
             blksw + (int64_t)l * rows * 5,
             coeff + (int64_t)l * rows * 5,
             remat + (int64_t)l * rows * 256,

@@ -112,3 +112,69 @@ def test_corruption_rejection_parity():
         mine = NativeDecoder().decode_stream(
             data, T.A52_STEREO | T.A52_ADJUST_LEVEL, 1.0, 0.0)
         assert (rb.shape[0] == 6) == (mine.shape[0] == 6), data.hex()[:60]
+
+
+def test_compact_h2d():
+    """Block-float H2D form (int16 mantissa + per-(block,plane) scale)
+    drifts the decode output by at most 1 int16 LSB vs shipping the f32
+    premixed planes, on committed golden content (no refbuild needed).
+    The compact form is the e2e transfer-volume option (VERDICT r2 #3):
+    ~2x fewer bytes over the host->device link."""
+    import os
+    from ac3acm_tpu.parallel.pipeline import BatchedDecoder
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    B = 4
+    outs = {}
+    for compact in (False, True):
+        dec = BatchedDecoder(B, flags, bias=384.0, emit_int16=True,
+                             parser="native", compact_h2d=compact)
+        for i in range(B):
+            # rotated frame starts: distinct lane phases
+            dec.feed(i, es[i * 1792:] + es[:i * 1792])
+        chunks = []
+        for _ in range(2):
+            r = dec.decode_available(max_frames=4)
+            assert r is not None
+            pcm, valid = r
+            assert valid.all()
+            chunks.append(np.asarray(pcm, np.int64))
+        outs[compact] = np.concatenate(chunks, axis=1)
+    d = np.abs(outs[True] - outs[False])
+    assert d.max() <= 1, f"compact H2D drifted {d.max()} LSB"
+    # sanity on the error scale: quantization noise sits well below the
+    # rounding boundary for most samples (~0.3 LSB rms -> a minority of
+    # near-boundary samples flip by exactly 1)
+    assert (d != 0).mean() < 0.25
+
+
+def test_compact_h2d_uneven_lanes():
+    """Compact form through the pending/frame-slice path (uneven lane
+    feeds force per-frame reassembly instead of the dense fast path)."""
+    import os
+    from ac3acm_tpu.parallel.pipeline import BatchedDecoder
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "bench_51_448.ac3")
+    es = open(golden, "rb").read()
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    B = 3
+    outs = {}
+    for compact in (False, True):
+        dec = BatchedDecoder(B, flags, bias=384.0, emit_int16=True,
+                             parser="native", compact_h2d=compact)
+        dec.feed(0, es)
+        dec.feed(1, es[:3 * 1792])        # short lane: 3 frames only
+        dec.feed(2, es)
+        r = dec.decode_available(max_frames=4)
+        assert r is not None
+        pcm, valid = r
+        assert valid.all()
+        dec.feed(1, es[3 * 1792:])        # top up; pending path drains
+        r2 = dec.decode_available(max_frames=4)
+        assert r2 is not None
+        outs[compact] = (np.asarray(pcm, np.int64),
+                         np.asarray(r2[0], np.int64))
+    for a, b in zip(outs[True], outs[False]):
+        assert np.abs(a - b).max() <= 1
