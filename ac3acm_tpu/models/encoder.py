@@ -110,24 +110,28 @@ def make_config(freq: int, bitrate: int, channels: int) -> EncoderConfig:
 def _encode_exp_static(exp, nb_coefs: int, gsize: int):
     """encode_exp for one static (nb_coefs, group size).
 
-    exp [..., 256] int32 -> (encoded [..., 256], nbits int).
+    exp [..., 256] int32 -> (encoded [..., 256], nbits int).  Works over
+    any leading batch axes (the encoder stacks all fbw channels into one
+    call per group size).
+
+    The reference's iterative +-2 delta-constraint relaxation
+    (ac3enc.cpp:730-747) converges to the maximal 2-Lipschitz array below
+    the group minima.  That fixpoint is a min-plus recurrence
+    c_i = min(v_i, c_{i-1} + 2), whose closed form
+    f_i = 2i + cummin_j<=i(v_j - 2j) runs as a log-depth associative scan
+    (and symmetrically backward) -- ~7 vector steps instead of ~75
+    sequential scan iterations on the TPU.
     """
     ngroups = ((nb_coefs + gsize * 3 - 4) // (3 * gsize)) * 3
     k = 1 + np.arange(ngroups)[:, None] * gsize + np.arange(gsize)[None, :]
     gmin = jnp.min(exp[..., k], axis=-1)                  # [..., ngroups]
     dc = jnp.minimum(exp[..., 0:1], 15)
     v = jnp.concatenate([dc, gmin], axis=-1)              # [..., ngroups+1]
-    # maximal array <= v with |delta| <= 2: forward then backward min-scan
-    def fwd(c, x):
-        c = jnp.minimum(x, c + 2)
-        return c, c
-    def bwd(c, x):
-        c = jnp.minimum(x, c + 2)
-        return c, c
-    vt = jnp.moveaxis(v, -1, 0)
-    _, f = jax.lax.scan(fwd, vt[0], vt)
-    _, g = jax.lax.scan(bwd, f[-1], f, reverse=True)
-    e = jnp.moveaxis(g, 0, -1)                            # constrained exps
+    j2 = jnp.asarray(2 * np.arange(ngroups + 1, dtype=np.int32))
+    f = jax.lax.associative_scan(jnp.minimum, v - j2, axis=-1) + j2
+    g = jax.lax.associative_scan(
+        jnp.minimum, (f + j2)[..., ::-1], axis=-1)[..., ::-1] - j2
+    e = g                                                 # constrained exps
     out = jnp.zeros_like(exp)
     out = out.at[..., 0].set(e[..., 0])
     fan = 1 + np.arange(ngroups)[:, None] * gsize + np.arange(gsize)[None, :]
@@ -186,23 +190,35 @@ def encode_pipeline(cfg: EncoderConfig):
                                              last, csnr))
 
 
-@lru_cache(maxsize=16)
-def encode_pipeline_multi(cfg: EncoderConfig):
-    """jitted multi-frame step: (samples [F,B,1536,nch], last, csnr) ->
+def _multi_body(cfg: EncoderConfig):
+    """(samples [F,B,1536,nch] i32, last [B,ch,256], csnr [B]) ->
     ((last', csnr'), outs with leading [F] axis).
 
-    A lax.scan over frames carrying (last_samples, csnroffst) -- identical
-    sequential semantics to F single-frame calls, amortizing the fixed
-    per-dispatch cost."""
+    A lax.scan over frames carrying (last_samples, csnroffst).  A
+    scan-free variant (all F frames flattened into one [F*B] batch, with
+    the csnroffst carry reduced to an F-step [B]-scalar recurrence --
+    valid because _frame_core's M is carry-independent) was measured
+    SLOWER on the chip (228 ms vs 178 ms at [8, 512] 5.1/640k): the 8x
+    larger intermediates tile worse than the scan's per-step reuse, so
+    the scan stays."""
     run = _frame_body(cfg)
 
     def multi(samples, last, csnr):
         def step(carry, pcm):
-            res = run(pcm.astype(jnp.int32), *carry)
+            res = run(pcm, *carry)
             return (res["new_last"], res["new_csnr"]), res
         return jax.lax.scan(step, (last, csnr), samples)
 
-    return jax.jit(multi)
+    return multi
+
+
+@lru_cache(maxsize=16)
+def encode_pipeline_multi(cfg: EncoderConfig):
+    """jitted multi-frame step: (samples [F,B,1536,nch], last, csnr) ->
+    ((last', csnr'), outs with leading [F] axis)."""
+    run = _multi_body(cfg)
+    return jax.jit(lambda s, last, csnr: run(s.astype(jnp.int32),
+                                             last, csnr))
 
 
 @lru_cache(maxsize=16)
@@ -234,13 +250,10 @@ def encode_pipeline_packed(cfg: EncoderConfig):
 
         return composed
 
-    run = _frame_body(cfg)
+    run = _multi_body(cfg)
 
     def full(samples, last, csnr):
-        def step(carry, pcm):
-            res = run(pcm.astype(jnp.int32), *carry)
-            return (res["new_last"], res["new_csnr"]), res
-        carry, enc = jax.lax.scan(step, (last, csnr), samples)
+        carry, enc = run(samples.astype(jnp.int32), last, csnr)
         frames = pack(enc["bap"], enc["qmant"], enc["enc_exp"],
                       enc["strat"], enc["csnroffst"], enc["fsnroffst"])
         return carry, enc["ok"], frames
@@ -248,8 +261,20 @@ def encode_pipeline_packed(cfg: EncoderConfig):
     return jax.jit(full)
 
 
-def _frame_body(cfg: EncoderConfig):
-    """(samples, last, csnr) -> frame-fields dict (untraced body)."""
+def _frame_core(cfg: EncoderConfig):
+    """(cur, prev) -> frame-fields dict over ANY flat leading batch.
+
+    cur/prev [N, 6, ch, 256] int32: this frame's blocks and the
+    overlapped previous blocks (prev[:, 0] is the previous frame's last
+    block -- available statically from the input stream, so multi-frame
+    encodes need NO sequential scan; see encode_pipeline_multi).
+
+    Returns everything except the csnroffst bookkeeping: "M" is the
+    binary-search maximum feasible coarse offset, which is independent of
+    the carried csnroffst -- the reference's hill climb lands on it
+    whenever rate control succeeds (ok <=> M >= csnr & 3), and on
+    failure the reference errors out (ac3enc.cpp:930-933) exactly as our
+    callers raise, so the carried value only matters for the ok test."""
     nch = cfg.channels
     nf = cfg.nfchans
     nb = cfg.nb_coefs
@@ -281,12 +306,8 @@ def _frame_body(cfg: EncoderConfig):
     nbv = jnp.asarray(np.array(nb, np.int32))
     bins = np.arange(256)
 
-    def run(samples, last, csnroffst):
-        B = samples.shape[0]
-        cur = samples.reshape(B, 6, 256, nch).transpose(0, 1, 3, 2)  # [B,6,ch,256]
-        prev = jnp.concatenate([last[:, None], cur[:, :5]], axis=1)
-        new_last = cur[:, 5]
-
+    def core(cur, prev):
+        B = cur.shape[0]
         windowed, _, exp_samples = window_norm_block(prev, cur)
         coef = mdct512(windowed)                          # [B,6,ch,256] i32
         exp, coef = extract_exponents(coef, exp_samples)
@@ -331,18 +352,24 @@ def _frame_body(cfg: EncoderConfig):
                 jnp.where(live, fmin, exp[:, i]))
 
         # --- encode_exp per strategy (static shapes) -----------------------
+        # all fbw channels share nb_coefs=223, so each group size runs ONCE
+        # over a stacked [B,6,nf] leading shape (15 sequential per-channel
+        # scans in round 2; now 3 log-depth calls + LFE)
         enc_exp = jnp.zeros_like(exp)
         exp_bits = jnp.zeros((B,), jnp.int32)
-        for ci in range(nch):
-            nbc = nb[ci]
-            for g, scode in ((1, T.EXP_D15), (2, T.EXP_D25), (4, T.EXP_D45)):
-                if nbc == 7 and g != 1:
-                    continue                              # LFE is D15-only
-                e_s, bits_s = _encode_exp_static(folded[:, :, ci], nbc, g)
-                sel = strat[:, :, ci] == scode
-                enc_exp = enc_exp.at[:, :, ci].set(
-                    jnp.where(sel[..., None], e_s, enc_exp[:, :, ci]))
-                exp_bits = exp_bits + jnp.sum(sel, axis=1) * bits_s
+        fbw_exp = folded[:, :, :nf]
+        for g, scode in ((1, T.EXP_D15), (2, T.EXP_D25), (4, T.EXP_D45)):
+            e_s, bits_s = _encode_exp_static(fbw_exp, nb[0], g)
+            sel = strat[:, :, :nf] == scode               # [B,6,nf]
+            enc_exp = enc_exp.at[:, :, :nf].set(
+                jnp.where(sel[..., None], e_s, enc_exp[:, :, :nf]))
+            exp_bits = exp_bits + jnp.sum(sel, axis=(1, 2)) * bits_s
+        if cfg.lfe:                                       # D15-only, nbc=7
+            e_s, bits_s = _encode_exp_static(folded[:, :, nf], 7, 1)
+            sel = strat[:, :, nf] == EXP_NEW
+            enc_exp = enc_exp.at[:, :, nf].set(
+                jnp.where(sel[..., None], e_s, enc_exp[:, :, nf]))
+            exp_bits = exp_bits + jnp.sum(sel, axis=1) * bits_s
         # propagate encoded exponents through reuse blocks
         for i in range(1, 6):
             reuse = strat[:, i] == T.EXP_REUSE            # [B,ch]
@@ -366,17 +393,14 @@ def _frame_body(cfg: EncoderConfig):
         frame_bits = fixed + exp_bits + 8 * jnp.sum(fbw_new, axis=(1, 2))
         starts = jnp.zeros_like(ends)
 
-        # rate model: psd takes only 25 values (3072 - 128*exp), so per-band
-        # exponent histograms turn each candidate allocation into a handful
-        # of prefix-count gathers -- all 64 coarse and 16 fine offsets are
-        # costed without ever materializing bap (exactly equal to
-        # mantissa_bits(bap_from_mask(...)); see ops.alloc.bits_for_offsets)
-        pref = AL.exp_histogram(enc_exp, ends)
-
+        # rate model: each candidate's bit cost is 15 compare-accumulates
+        # per live bin -- no bap tensor, no exponent histogram (exactly
+        # equal to mantissa_bits(bap_from_mask(...)); see
+        # ops.alloc.bits_for_snro)
         def bits_used(snro):
-            # snro [..., B] broadcastable against [B,6,ch,50]
-            mant = AL.bits_for_offsets(pref, mask,
-                                       snro[..., None, None, None], floor)
+            # snro [B] broadcastable against [B,6,ch,50]
+            mant = AL.bits_for_snro(psd, live, mask,
+                                    snro[..., None, None, None], floor)
             return jnp.sum(mant, axis=-1)
 
         def fits(c, f):
@@ -389,41 +413,65 @@ def _frame_body(cfg: EncoderConfig):
         # (ac3enc.cpp:918-975) lands exactly at M = max{c : fits(c, 0)} when
         # the down pass found a fit (ok <=> the lowest reachable lattice
         # point csnr mod 4 fits <=> M >= csnr & 3), and the fine pass lands
-        # at max{f : fits(cstar, f)}.  Binary search finds both with 12
+        # at max{f : fits(M, f)}.  Binary search finds both with 12
         # single-candidate bit-cost evaluations instead of costing the full
         # 64 x 16 lattice -- byte-identity with the reference encoder is
         # held by the config-matrix / 19-bitrate tests in test_encoder.py.
-        zero_f = jnp.zeros_like(csnroffst)
-        lo = jnp.full_like(csnroffst, -1)
-        hi = jnp.full_like(csnroffst, 63)
+        zero = jnp.zeros((B,), jnp.int32)
+        lo = jnp.full((B,), -1, jnp.int32)
+        hi = jnp.full((B,), 63, jnp.int32)
         for _ in range(7):                    # ceil(log2(65))
             mid = (lo + hi + 1) >> 1
-            okm = fits(mid, zero_f)
+            okm = fits(mid, zero)
             lo = jnp.where(okm, mid, lo)
             hi = jnp.where(okm, hi, mid - 1)
         M = lo
-        ok = M >= (csnroffst & 3)
-        # !ok replicates the literal walk's fallout (c0=csnr, nothing fits
-        # upward): cstar=csnr -- the caller raises on !ok either way
-        cstar = jnp.where(ok, M, csnroffst)
-        flo = jnp.full_like(csnroffst, -1)
-        fhi = jnp.full_like(csnroffst, 15)
+        flo = jnp.full((B,), -1, jnp.int32)
+        fhi = jnp.full((B,), 15, jnp.int32)
         for _ in range(5):                    # ceil(log2(17))
             fmid = (flo + fhi + 1) >> 1
-            okf = fits(cstar, fmid)
+            okf = fits(M, fmid)
             flo = jnp.where(okf, fmid, flo)
             fhi = jnp.where(okf, fhi, fmid - 1)
         fstar = jnp.maximum(flo, 0)
 
-        snro = ((((cstar - 15) << 4) + fstar) << 2)
+        snro = ((((M - 15) << 4) + fstar) << 2)
         bap = AL.bap_from_mask(psd, mask, snro[:, None, None, None],
                                floor, starts, ends)
         qmant = quantize(coef, enc_exp, exp_samples, bap)
 
         return dict(bap=bap.astype(jnp.int8), qmant=qmant,
                     enc_exp=enc_exp.astype(jnp.uint8), strat=strat,
-                    csnroffst=cstar, fsnroffst=fstar, ok=ok,
-                    new_last=new_last, new_csnr=cstar)
+                    M=M, fsnroffst=fstar, new_last=cur[:, 5])
+
+    return core
+
+
+def _csnr_fixup(res, csnroffst):
+    """Apply the carried-csnroffst bookkeeping to a _frame_core result:
+    ok <=> the reference's down pass finds a fit from the carried start
+    (M >= csnr & 3); cstar = M then.  On !ok every caller raises (the
+    reference prints its error and aborts the frame), so the fields'
+    !ok-lane values are don't-cares."""
+    M = res.pop("M")
+    ok = M >= (csnroffst & 3)
+    cstar = jnp.where(ok, M, csnroffst)
+    res = dict(res, csnroffst=cstar, ok=ok, new_csnr=cstar)
+    return res
+
+
+def _frame_body(cfg: EncoderConfig):
+    """(samples [B,1536*nch layout], last [B,ch,256], csnr [B]) ->
+    frame-fields dict; single-frame compatibility wrapper over
+    _frame_core."""
+    nch = cfg.channels
+    core = _frame_core(cfg)
+
+    def run(samples, last, csnroffst):
+        B = samples.shape[0]
+        cur = samples.reshape(B, 6, 256, nch).transpose(0, 1, 3, 2)
+        prev = jnp.concatenate([last[:, None], cur[:, :5]], axis=1)
+        return _csnr_fixup(core(cur, prev), csnroffst)
 
     return run
 

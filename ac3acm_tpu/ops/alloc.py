@@ -108,10 +108,14 @@ def excitation(bndpsd, fgain, sgain, fdecay, sdecay, is_lfe,
         sl0 = jnp.zeros(shp, jnp.int32)
 
     def step(carry, b):
+        # b is a static Python int: the 50-band recurrence is UNROLLED so
+        # XLA fuses the whole chain into one kernel (a lax.scan re-enters
+        # its tiny body 50 times with carry round-trips -- measured ~25 ms
+        # of the round-2 encoder's device time); branch conditions on b
+        # resolve at trace time.
         fast, slow, lowcomp, startup = carry
         bp = bndpsd[..., b]
         bn = nxt[..., b]
-        skip_lc = is_lfe & (b == 6)
 
         if coupled:
             in_region = b >= bndstrt
@@ -123,40 +127,48 @@ def excitation(bndpsd, fgain, sgain, fdecay, sdecay, is_lfe,
             return (fast, slow, lowcomp, startup), exc
 
         # full-bandwidth channel: startup bins 0..6 then leak region
-        lc_new = jnp.where(skip_lc, lowcomp, _calc_lowcomp(lowcomp, bp, bn, b))
-        is01 = b < 2
-        exc01 = bp - fgain - lc_new
+        if b == 6:
+            lc_new = jnp.where(is_lfe, lowcomp,
+                               _calc_lowcomp(lowcomp, bp, bn, b))
+        elif b < 22:
+            lc_new = _calc_lowcomp(lowcomp, bp, bn, b)
+        else:
+            lc_new = lowcomp                 # unused past band 21
+        skip_lc = is_lfe & (b == 6)
+
+        if b < 2:
+            exc = bp - fgain - lc_new
+            return (fast, slow, lc_new, startup), exc
 
         # startup bins 2..6: fresh leaks, excite = fast - lowcomp
         fresh_fast = bp - fgain
         fresh_slow = bp - sgain
-        exc_startup = fresh_fast - lc_new
-        leave = (~skip_lc) & (bp <= bn)          # begin = b+1
-
         # leak region (b >= begin): decay
         dec_fast = jnp.maximum(fast - fdecay, bp - fgain)
         dec_slow = jnp.maximum(slow - sdecay, bp - sgain)
-        exc_leak = jnp.where(b < 22,
-                             jnp.maximum(dec_fast - lc_new, dec_slow),
-                             jnp.maximum(dec_fast, dec_slow))
+        if b < 22:
+            exc_leak = jnp.maximum(dec_fast - lc_new, dec_slow)
+        else:
+            exc_leak = jnp.maximum(dec_fast, dec_slow)
 
-        in_startup = startup & (b < 7)
-        exc = jnp.where(is01, exc01,
-                        jnp.where(in_startup, exc_startup, exc_leak))
-        fast = jnp.where(is01, fast,
-                         jnp.where(in_startup, fresh_fast, dec_fast))
-        slow = jnp.where(is01, slow,
-                         jnp.where(in_startup, fresh_slow, dec_slow))
-        # lowcomp only participates below band 22; past it the scan value
-        # is unused (exc_leak ignores it), matching the reference flow
-        lowcomp = lc_new
-        startup = startup & jnp.where(is01, True, ~(in_startup & leave)) \
-            & (b < 6)
-        return (fast, slow, lowcomp, startup), exc
+        if b < 7:
+            exc_startup = fresh_fast - lc_new
+            leave = (~skip_lc) & (bp <= bn)  # begin = b+1
+            in_startup = startup
+            exc = jnp.where(in_startup, exc_startup, exc_leak)
+            fast = jnp.where(in_startup, fresh_fast, dec_fast)
+            slow = jnp.where(in_startup, fresh_slow, dec_slow)
+            startup = startup & ~(in_startup & leave) & (b < 6)
+        else:
+            exc, fast, slow = exc_leak, dec_fast, dec_slow
+        return (fast, slow, lc_new, startup), exc
 
-    init = (fl0, sl0, jnp.zeros(shp, jnp.int32), jnp.ones(shp, bool))
-    _, exc = jax.lax.scan(step, init, jnp.arange(50))
-    return jnp.moveaxis(exc, 0, -1)
+    carry = (fl0, sl0, jnp.zeros(shp, jnp.int32), jnp.ones(shp, bool))
+    excs = []
+    for b in range(50):
+        carry, e = step(carry, b)
+        excs.append(e)
+    return jnp.stack(excs, axis=-1)
 
 
 def masking_curve(bndpsd, excite, dbknee, hth_row, deltba=None):
@@ -240,6 +252,47 @@ def exp_histogram(exp, ends):
     live = valid & (idx < ends[..., None, None])
     onehot = (e[..., None] == jnp.arange(25)) & live[..., None]
     return jnp.sum(onehot, axis=-2).astype(jnp.float32)  # [..., C, 50, 25]
+
+
+def bits_for_snro(psd, live, mask, snro, floor):
+    """Grouped-mantissa bit cost for one (broadcastable) SNR offset,
+    counted directly per bin -- no exponent histogram.
+
+    psd  [..., C, 256] int32 (3072 - 128*exp, zero past end)
+    live [..., C, 256] bool
+    mask [..., C, 50]
+    snro broadcastable against mask's leading axes (e.g. [B, 1, 1, 1])
+    -> bits [..., ] per block (summed over channels and bins; grouped-class
+    ceils applied after the channel sum -- compute_mantissa_size
+    semantics, ac3enc.cpp:764-810).
+
+    Exactly mantissa_bits(bap_from_mask(...)): a coeff's address is
+    clip((psd - vbin) >> 5, 0, 63) and its class is #{k : address >= lo_k},
+    so the per-class counts are 15 compare-accumulates per bin.  Versus
+    the round-2 histogram route (exp_histogram + bits_for_offsets) this
+    is ~5x less work per search step at the encoder's shapes: 224 live
+    bins/channel instead of a 50x25 (band, exponent) lattice, and no
+    histogram build at all.
+    """
+    lo = _class_bounds()
+    v = mask - snro - floor
+    v = jnp.where(v < 0, 0, v)
+    v = (v & 0x1FE0) + floor                            # [..., C, 50]
+    vbin = v[..., jnp.asarray(T.MASKTAB)]               # [..., C, 253]
+    pad = jnp.zeros(vbin.shape[:-1] + (3,), vbin.dtype)
+    vbin = jnp.concatenate([vbin, pad], axis=-1)
+    base = psd - vbin                                   # [..., C, 256]
+    t32 = jnp.asarray(32 * lo[1:].astype(np.int32))     # [15]
+    cmp = (base[..., None] >= t32) & live[..., None]
+    ge = jnp.sum(cmp.astype(jnp.int32), axis=(-3, -2))  # [..., 15]
+    nk = jnp.concatenate([ge[..., :-1] - ge[..., 1:], ge[..., -1:]], -1)
+    n1, n2, n3, n4 = nk[..., 0], nk[..., 1], nk[..., 2], nk[..., 3]
+    bits = (5 * ((n1 + 2) // 3) + 7 * ((n2 + 2) // 3) + 3 * n3
+            + 7 * ((n4 + 1) // 2))
+    widths = T.BAP_BITS[5:16]                           # classes 5..15
+    for j, w in enumerate(widths):
+        bits = bits + int(w) * nk[..., 4 + j]
+    return bits
 
 
 def bits_for_offsets(hist, mask, snro, floor):

@@ -146,6 +146,25 @@ def _first_two_after(v, ok):
     return v1, v2, cnt
 
 
+def _deposit_batched(planes, w, nwords: int):
+    """Batched byte-plane deposit: acc[n, p, word] = sum over tokens t of
+    planes[n, p, t] where w[n, t] == word.
+
+    planes [N, 8, T] bfloat16 (the 4 byte planes of p0 then of p1,
+    values <= 255 so bf16 is exact), w [N, T] int32
+    -> [N, 8, nwords] float32.
+
+    The one-hot token->word matrix feeds the MXU without being
+    materialized in HBM (XLA fuses the compare into the contraction --
+    measured 12.6 ms at the c4 shape, [4096, 8, ~8k] x ~640 words).  A
+    VMEM-resident Pallas formulation of the same contraction was tried
+    and measured slightly slower (17 ms batched; 9x slower frame-per-
+    grid-instance), so the plain einsum stays."""
+    oh = (w[:, :, None] == jnp.arange(nwords)).astype(jnp.bfloat16)
+    return jnp.einsum("npt,ntw->npw", planes, oh,
+                      preferred_element_type=jnp.float32)
+
+
 _GROUP_CLASSES = ((1, 3, 5, (9, 3, 1)), (2, 3, 7, (25, 5, 1)),
                   (4, 2, 7, (11, 1)))
 
@@ -279,7 +298,8 @@ def pack_frames_device(cfg):
     h2 = jnp.asarray(h2_np.astype(np.uint32))
     garange = np.arange(gmax)
 
-    def one(bap, qmant, enc_exp, strat, csnr, fsnr):
+    def tokens(bap, qmant, enc_exp, strat, csnr, fsnr):
+        """One frame's combined token stream: (w, p0, p1) per token."""
         strat_e = strat.astype(jnp.int32)                    # [6, nch]
         reuse = strat_e == 0
         mant_lens, mant_vals = _mant_tokens(
@@ -403,41 +423,20 @@ def pack_frames_device(cfg):
         p1 = jnp.where(
             fits, jnp.uint32(0),
             vals << jnp.where(fits, 0, (jnp.uint32(64) - sh - lu) & 31))
-        if jax.default_backend() == "tpu":
-            # Scatter-add serializes on TPU (one update row per step,
-            # measured ~12 us/row); instead contract byte planes of
-            # (p0, p1) against the one-hot token->word matrix on the MXU
-            # (4.4x faster).  Exact in bf16/f32: bits are disjoint within
-            # a word, so every byte-plane column sums to <= 255 (no
-            # carries), and integers <= 255 are exact in bf16.
-            wordsN = jnp.arange(nwords, dtype=jnp.int32)
-            oh = (w[:, None] == wordsN[None, :]).astype(jnp.bfloat16)
-            byte_sh = jnp.asarray(np.array([24, 16, 8, 0], np.uint32))
-            planes = jnp.concatenate(
-                [((p0[:, None] >> byte_sh[None, :]) & 0xFF),
-                 ((p1[:, None] >> byte_sh[None, :]) & 0xFF)],
-                axis=1).astype(jnp.bfloat16)                       # [T, 8]
-            acc = jnp.einsum("tp,tw->pw", planes, oh,
-                             preferred_element_type=jnp.float32)
-            acc = acc.astype(jnp.uint32)                           # [8, NW]
-            w0 = sum((acc[b] << jnp.uint32(24 - 8 * b)) for b in range(4))
-            w1 = sum((acc[4 + b] << jnp.uint32(24 - 8 * b))
-                     for b in range(4))
-            # p1 bits belong to the word after their token's
-            words = w0 + jnp.concatenate([jnp.zeros((1,), jnp.uint32),
-                                          w1[:-1]])
-        else:
-            # CPU: plain scatter-add -- the natural lowering there (no
-            # serialization problem, far fewer fusions than the one-hot
-            # einsum, and every fusion costs live mmaps on XLA:CPU).
-            # Identical bits either way: contributions are disjoint, so
-            # add == or.
-            words = jnp.zeros((nwords,), jnp.uint32)
-            words = words.at[w].add(p0, mode="promise_in_bounds",
-                                    indices_are_sorted=True)
-            words = words.at[w + 1].add(p1, mode="promise_in_bounds",
-                                        indices_are_sorted=True)
+        return w, p0, p1
 
+    def combine_acc(acc):
+        """Byte-plane accumulators [..., 8, NW] uint32 -> words
+        [..., NW]; p1 bits belong to the word after their token's."""
+        w0 = sum((acc[..., b, :] << jnp.uint32(24 - 8 * b))
+                 for b in range(4))
+        w1 = sum((acc[..., 4 + b, :] << jnp.uint32(24 - 8 * b))
+                 for b in range(4))
+        z = jnp.zeros(w1.shape[:-1] + (1,), jnp.uint32)
+        return w0 + jnp.concatenate([z, w1[..., :-1]], axis=-1)
+
+    def finish(words):
+        """words [NW] uint32 -> the serial frame [total] uint8."""
         shifts = jnp.asarray(np.array([24, 16, 8, 0], np.uint32))
         all_bytes = ((words[:, None] >> shifts[None, :])
                      & 0xFF).reshape(-1)[:total]
@@ -461,11 +460,48 @@ def pack_frames_device(cfg):
         all_bytes = all_bytes.at[total - 1].set(crc2 & 0xFF)
         return all_bytes.astype(jnp.uint8)
 
+    def one_cpu(bap, qmant, enc_exp, strat, csnr, fsnr):
+        # CPU: plain scatter-add -- the natural lowering there (no
+        # serialization problem, far fewer fusions than the batched
+        # deposit, and every fusion costs live mmaps on XLA:CPU).
+        # Identical bits to the TPU path: contributions are disjoint, so
+        # add == or.
+        w, p0, p1 = tokens(bap, qmant, enc_exp, strat, csnr, fsnr)
+        words = jnp.zeros((nwords,), jnp.uint32)
+        words = words.at[w].add(p0, mode="promise_in_bounds",
+                                indices_are_sorted=True)
+        words = words.at[w + 1].add(p1, mode="promise_in_bounds",
+                                    indices_are_sorted=True)
+        return finish(words)
+
     def fn(bap, qmant, enc_exp, strat, csnr, fsnr):
+        # all leading axes collapse to ONE flat batch: the Pallas deposit
+        # owns the batch axis (16 frames per grid instance), and nested
+        # vmap of a pallas_call silently miscomputes under the current
+        # batching rule (caught by the mono byte-identity check)
         lead = bap.shape[:-3]
-        f = one
-        for _ in lead:
-            f = jax.vmap(f)
-        return f(bap, qmant, enc_exp.astype(jnp.uint8), strat, csnr, fsnr)
+        args = (bap, qmant, enc_exp.astype(jnp.uint8), strat, csnr, fsnr)
+        nl = len(lead)
+        if jax.default_backend() != "tpu":
+            f = one_cpu
+            for _ in lead:
+                f = jax.vmap(f)
+            return f(*args)
+        if not nl:
+            args = [a[None] for a in args]
+        n = int(np.prod(lead)) if nl else 1
+        flat = [a.reshape((n,) + a.shape[max(nl, 1):]) for a in args]
+        w, p0, p1 = jax.vmap(tokens)(*flat)               # [N, T] each
+        # byte planes of (p0, p1): values <= 255, exact in bf16; bits
+        # are disjoint within a word so every byte-plane column sums to
+        # <= 255 (no carries) and f32 accumulation is exact
+        byte_sh = jnp.asarray(np.array([24, 16, 8, 0], np.uint32))
+        planes = jnp.concatenate(
+            [((p0[:, None, :] >> byte_sh[None, :, None]) & 0xFF),
+             ((p1[:, None, :] >> byte_sh[None, :, None]) & 0xFF)],
+            axis=1).astype(jnp.bfloat16)                  # [N, 8, T]
+        acc = _deposit_batched(planes, w, nwords).astype(jnp.uint32)
+        out = jax.vmap(finish)(combine_acc(acc))
+        return out.reshape(lead + out.shape[1:]) if nl else out[0]
 
     return jax.jit(fn)

@@ -45,6 +45,34 @@ def test_all_19_bitrates_bit_exact():
         assert my_es == ref_es, f"mismatch at {kbps} kbps"
 
 
+def test_bits_for_snro_equals_materialized_bap():
+    """The per-bin rate model (ops.alloc.bits_for_snro, the SNR search's
+    cost function) must equal mantissa_bits(bap_from_mask(...)) -- the
+    materialized ground truth -- for random masks/exponents and offsets
+    across the whole search lattice."""
+    import jax.numpy as jnp
+    from ac3acm_tpu.ops import alloc as AL
+    rng = np.random.default_rng(42)
+    B, C = 8, 6
+    floor = int(T.FLOORTAB[4])
+    ends_np = np.full((B, C), 223, np.int32)
+    ends_np[:, C - 1] = 7
+    exp = rng.integers(0, 25, (B, C, 256)).astype(np.int32)
+    bins = np.arange(256)
+    live_np = bins[None, None, :] < ends_np[..., None]
+    psd = jnp.asarray(np.where(live_np, 3072 - (exp << 7), 0))
+    live = jnp.asarray(live_np)
+    mask = jnp.asarray(rng.integers(0, 4000, (B, C, 50)).astype(np.int32))
+    ends = jnp.asarray(ends_np)
+    starts = jnp.zeros_like(ends)
+    for c, f in ((0, 0), (10, 3), (40, 0), (40, 15), (63, 15), (25, 7)):
+        snro = np.int32((((c - 15) << 4) + f) << 2)
+        fast = np.asarray(AL.bits_for_snro(psd, live, mask, snro, floor))
+        bap = AL.bap_from_mask(psd, mask, snro, floor, starts, ends)
+        slow = np.asarray(AL.mantissa_bits(bap, ends))
+        assert (fast == slow).all(), (c, f)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         make_config(11000, 96000, 2)      # not in any halfrate row
