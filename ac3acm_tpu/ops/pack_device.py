@@ -120,29 +120,49 @@ def _psum_incl(x):
     return x
 
 
-def _first_two_after(v, ok):
-    """Per position i (along the last axis): the values of the first and
-    second ok elements at position >= i, plus how many exist (0/1/2).
-    Pointer-doubling with the "keep first two" monoid -- selects only.
-    Runs at the value dtype (uint8 for grouped mantissas: all grouped
-    quantizer indices and combined group codes fit in a byte).
-    """
-    cnt = ok.astype(jnp.int8)
-    v1 = jnp.where(ok, v, 0)
-    v2 = jnp.zeros_like(v)
-    n = v.shape[-1]
+def _first_two_after(q, m):
+    """Per position i (along the last axis) and per grouped class c: the
+    values of the first and second class-c members at position >= i,
+    plus how many exist (0/1/2).
+
+    q [..., n] int32 (grouped quantizer indices, <= 10); m [..., 3, n]
+    bool class masks -> (v1, v2, cnt) each [..., 3, n] int32.
+
+    Pointer-doubling with the "keep first two" monoid, with the ENTIRE
+    state packed into one int32 lane: per class 4 bits v1 | 4 bits v2 |
+    2 bits cnt = 30 bits for all three classes.  (XLA:TPU widens
+    sub-32-bit integer lanes, so the round-2 three-uint8-arrays
+    formulation moved ~9 int32-lane arrays per doubling step vs one
+    here; measured end-to-end the two are within noise -- the scan is
+    ALU-bound, not traffic-bound -- but the packed state is also less
+    code.)"""
+    OFF = (0, 10, 20)
+
+    def fld(x, o, w):
+        return (x >> o) & ((1 << w) - 1)
+
+    x = jnp.zeros(q.shape, jnp.int32)
+    for c, o in enumerate(OFF):
+        mc = m[..., c, :]
+        x = x | jnp.where(mc, (q << o) | (1 << (o + 8)), 0)
+    n = q.shape[-1]
     d = 1
     while d < n:
-        def sh(x):
-            pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
-            return jnp.concatenate([x[..., d:], pad], axis=-1)
-        bv1, bv2, bc = sh(v1), sh(v2), sh(cnt)
-        nv1 = jnp.where(cnt >= 1, v1, bv1)
-        nv2 = jnp.where(cnt >= 2, v2,
-                        jnp.where(cnt == 1, bv1, bv2))
-        cnt = jnp.minimum(cnt + bc, 2)
-        v1, v2 = nv1, nv2
+        pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+        y = jnp.concatenate([x[..., d:], pad], axis=-1)
+        nx = jnp.zeros_like(x)
+        for o in OFF:
+            a1, a2, ac = fld(x, o, 4), fld(x, o + 4, 4), fld(x, o + 8, 2)
+            b1, b2, bc = fld(y, o, 4), fld(y, o + 4, 4), fld(y, o + 8, 2)
+            n1 = jnp.where(ac >= 1, a1, b1)
+            n2 = jnp.where(ac >= 2, a2, jnp.where(ac == 1, b1, b2))
+            nc = jnp.minimum(ac + bc, 2)
+            nx = nx | (n1 << o) | (n2 << (o + 4)) | (nc << (o + 8))
+        x = nx
         d <<= 1
+    v1 = jnp.stack([fld(x, o, 4) for o in OFF], axis=-2)
+    v2 = jnp.stack([fld(x, o + 4, 4) for o in OFF], axis=-2)
+    cnt = jnp.stack([fld(x, o + 8, 2) for o in OFF], axis=-2)
     return v1, v2, cnt
 
 
@@ -174,9 +194,9 @@ def _mant_tokens(cls, q, validf):
     vals uint32) per coefficient in channel-major order, with grouped
     classes combined onto their heads.
 
-    The doubling scan runs entirely in 8/16-bit lanes: grouped quantizer
-    indices are <= 10 and combined group codes are <= 124, so the heavy
-    [..., 3, 1536] intermediates stay a quarter of the uint32 footprint.
+    The doubling scan's whole per-position state (first/second member
+    value + count, for all three classes) packs into one int32 lane --
+    see _first_two_after.
     """
     cls = jnp.where(validf, cls, jnp.int8(0)).astype(jnp.int8)
     # ungrouped lengths, arithmetically (no table gather):
@@ -187,13 +207,12 @@ def _mant_tokens(cls, q, validf):
     lens = jnp.where(cls == 15, jnp.int8(16), lens).astype(jnp.int8)
     vals = q.astype(jnp.uint32)
 
-    # grouped classes: one batched doubling scan over a stacked class axis
+    # grouped classes: one packed doubling scan over all three classes
     m = jnp.stack([cls == c for c, _, _, _ in _GROUP_CLASSES], axis=-2)
-    q8 = q.astype(jnp.uint8)              # grouped q <= 10; masked elsewhere
-    qs = jnp.broadcast_to(q8[..., None, :], m.shape)
+    qg = q & 15                           # grouped q <= 10; masked elsewhere
     ordn = _psum_incl(m.astype(jnp.int16)) - 1
     # strictly-after view: first/second member after position i
-    a1, a2, acnt = _first_two_after(qs, m)
+    a1, a2, acnt = _first_two_after(qg, m)
 
     def sh1(x):
         pad = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
@@ -203,12 +222,12 @@ def _mant_tokens(cls, q, validf):
     for idx, (c, gsize, bits, mults) in enumerate(_GROUP_CLASSES):
         mi = m[..., idx, :]
         head = mi & (ordn[..., idx, :] % gsize == 0)
-        hv = (jnp.uint8(mults[0]) * q8
-              + jnp.uint8(mults[1]) * jnp.where(
-                  ncnt[..., idx, :] >= 1, n1[..., idx, :], jnp.uint8(0)))
+        hv = (mults[0] * qg
+              + mults[1] * jnp.where(
+                  ncnt[..., idx, :] >= 1, n1[..., idx, :], 0))
         if len(mults) == 3:
-            hv = hv + jnp.uint8(mults[2]) * jnp.where(
-                ncnt[..., idx, :] >= 2, n2[..., idx, :], jnp.uint8(0))
+            hv = hv + mults[2] * jnp.where(
+                ncnt[..., idx, :] >= 2, n2[..., idx, :], 0)
         lens = jnp.where(mi, jnp.where(head, jnp.int8(bits), jnp.int8(0)),
                          lens)
         vals = jnp.where(head, hv.astype(jnp.uint32), vals)
