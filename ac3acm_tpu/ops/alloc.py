@@ -40,6 +40,24 @@ def _band_layout():
 
 
 @lru_cache(maxsize=1)
+def _size_runs():
+    """Contiguous runs of equal band size: (nbands, size, first_bin) --
+    the A/52 band structure is 28x1, 7x3, 6x6, 4x12, 5x24, so exact
+    per-size layouts replace the padded [50, 24] one (1200 lanes, 23
+    fold steps each with a 64-compare latab lookup) with 203 total
+    latab lookups on narrow lanes."""
+    runs = []
+    b = 0
+    while b < 50:
+        sz = int(T.BNDSZ[b])
+        lo = b
+        while b < 50 and int(T.BNDSZ[b]) == sz:
+            b += 1
+        runs.append((b - lo, sz, int(T.BNDTAB[lo])))
+    return tuple(runs)
+
+
+@lru_cache(maxsize=1)
 def _latab_thresholds():
     """LATAB is monotone nonincreasing, so latab[adr] = #\\{t : adr < thr_t\\}
     with thr_t = first index where latab < t.  Turns the per-element gather
@@ -64,19 +82,29 @@ def band_psd(psd, end):
     """psd [..., 256] int32 -> bndpsd [..., 50] int32 (log-add fold).
 
     `end` [...]: first excluded bin (bins >= end ignored).
+
+    Bands are processed per size class (static contiguous slices, no
+    gather): size-1 bands copy through, larger sizes fold sequentially
+    in reference order, each fold running only on that class's bands.
     """
-    idx, valid = _band_layout()
-    p = psd[..., idx]                                   # [..., 50, 24]
-    ok = valid & (idx < end[..., None, None])
-    v = p[..., 0]
-    for k in range(1, 24):
-        nxt = p[..., k]
-        c = v - nxt
-        adr = jnp.minimum(jnp.abs(c) >> 1, 255)
-        la = _latab_lookup(adr)
-        fold = jnp.where(c >= 0, v + la, nxt + la)
-        v = jnp.where(ok[..., k], fold, v)
-    return v
+    out = []
+    for nb_, sz, bin0 in _size_runs():
+        p = psd[..., bin0: bin0 + nb_ * sz]
+        p = p.reshape(p.shape[:-1] + (nb_, sz))          # [..., nb, sz]
+        v = p[..., 0]
+        if sz > 1:
+            idx = (bin0 + np.arange(nb_ * sz).reshape(nb_, sz)).astype(
+                np.int32)
+            ok = jnp.asarray(idx) < end[..., None, None]
+            for k in range(1, sz):
+                nxt = p[..., k]
+                c = v - nxt
+                adr = jnp.minimum(jnp.abs(c) >> 1, 255)
+                la = _latab_lookup(adr)
+                fold = jnp.where(c >= 0, v + la, nxt + la)
+                v = jnp.where(ok[..., k], fold, v)
+        out.append(v)
+    return jnp.concatenate(out, axis=-1)
 
 
 def _calc_lowcomp(a, b0, b1, binno):

@@ -106,18 +106,44 @@ def _header_bits(cfg):
 # device building blocks (all select/shift/slice; no dynamic gather)
 # ---------------------------------------------------------------------------
 
-def _psum_incl(x):
+def _psum_incl(x, chunk=32):
     """Inclusive prefix sum along the last axis as log-shift adds
     (lax.cumsum measures ~26 ms on these shapes; this measures ~0.04 ms).
     Keeps the input dtype -- callers pick the narrowest width that can
-    hold the final sum (HBM traffic, not FLOPs, bounds these scans)."""
+    hold the final sum (HBM traffic, not FLOPs, bounds these scans).
+
+    Work-efficient two-level form: log2(chunk) full-lane steps within
+    chunks + a chunk-totals scan on 1/chunk of the lanes + one add,
+    instead of log2(n) full-lane steps (5+1 vs 11 at n=1536)."""
     n = x.shape[-1]
+    if n <= 2 * chunk:
+        d = 1
+        while d < n:
+            pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+            x = x + jnp.concatenate([pad, x[..., :-d]], axis=-1)
+            d <<= 1
+        return x
+    nc = (n + chunk - 1) // chunk
+    if nc * chunk != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (nc * chunk - n,), x.dtype)],
+            axis=-1)
+    xr = x.reshape(x.shape[:-1] + (nc, chunk))
     d = 1
-    while d < n:
-        pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
-        x = x + jnp.concatenate([pad, x[..., :-d]], axis=-1)
+    while d < chunk:
+        pad = jnp.zeros(xr.shape[:-1] + (d,), x.dtype)
+        xr = xr + jnp.concatenate([pad, xr[..., :-d]], axis=-1)
         d <<= 1
-    return x
+    tot = xr[..., -1]                       # [..., nc] chunk totals
+    d = 1
+    while d < nc:
+        pad = jnp.zeros(tot.shape[:-1] + (d,), x.dtype)
+        tot = tot + jnp.concatenate([pad, tot[..., :-d]], axis=-1)
+        d <<= 1
+    excl = jnp.concatenate(
+        [jnp.zeros(tot.shape[:-1] + (1,), x.dtype), tot[..., :-1]], axis=-1)
+    out = (xr + excl[..., None]).reshape(x.shape[:-1] + (nc * chunk,))
+    return out[..., :n]
 
 
 def _first_two_after(q, m):
@@ -129,39 +155,72 @@ def _first_two_after(q, m):
     bool class masks -> (v1, v2, cnt) each [..., 3, n] int32.
 
     Pointer-doubling with the "keep first two" monoid, with the ENTIRE
-    state packed into one int32 lane: per class 4 bits v1 | 4 bits v2 |
-    2 bits cnt = 30 bits for all three classes.  (XLA:TPU widens
-    sub-32-bit integer lanes, so the round-2 three-uint8-arrays
-    formulation moved ~9 int32-lane arrays per doubling step vs one
-    here; measured end-to-end the two are within noise -- the scan is
-    ALU-bound, not traffic-bound -- but the packed state is also less
-    code.)"""
+    state packed into one int32 lane: per class an MSB-aligned nibble
+    stream s8 = v1<<4 | v2 plus a 2-bit count -- 30 bits for all three
+    classes.  The nibble-stream encoding makes the monoid combine pure
+    arithmetic ("append b's stream after a's first ac nibbles"):
+
+        out8 = a8 | (b8 >> 4*ac),  outc = min(ac + bc, 2)
+
+    -- no per-field selects, ~16 ops/class/step vs ~25 for the naive
+    (v1, v2, cnt) select form.  (XLA:TPU widens sub-32-bit integer
+    lanes, so three separate uint8 arrays would move ~9 int32-lane
+    arrays per doubling step vs one here.)
+
+    Work-efficient two-level suffix scan: log2(16) full-lane doubling
+    steps within 16-wide chunks, a chunk-summary suffix scan on 1/16 of
+    the lanes, then ONE full-lane combine -- 5 full-lane monoid steps
+    instead of log2(n)=11 (together with the compacted live-coefficient
+    layout: _mant_tokens 49.5 -> ~20 ms at the c4 shape)."""
     OFF = (0, 10, 20)
 
     def fld(x, o, w):
         return (x >> o) & ((1 << w) - 1)
 
+    def combine(x, y):
+        """Monoid: x = state of nearer positions, y = farther."""
+        nx = jnp.zeros_like(x)
+        for o in OFF:
+            a8, ac = fld(x, o, 8), fld(x, o + 8, 2)
+            b8, bc = fld(y, o, 8), fld(y, o + 8, 2)
+            out8 = a8 | (b8 >> (ac << 2))
+            outc = jnp.minimum(ac + bc, 2)
+            nx = nx | (out8 | (outc << 8)) << o
+        return nx
+
+    def suf(x, d):
+        """x shifted d toward lower indices (suffix neighbor), zero pad
+        (zero state = empty sequence = monoid identity)."""
+        pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+        return jnp.concatenate([x[..., d:], pad], axis=-1)
+
     x = jnp.zeros(q.shape, jnp.int32)
     for c, o in enumerate(OFF):
         mc = m[..., c, :]
-        x = x | jnp.where(mc, (q << o) | (1 << (o + 8)), 0)
+        x = x | jnp.where(mc, (q << (o + 4)) | (1 << (o + 8)), 0)
     n = q.shape[-1]
-    d = 1
-    while d < n:
-        pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
-        y = jnp.concatenate([x[..., d:], pad], axis=-1)
-        nx = jnp.zeros_like(x)
-        for o in OFF:
-            a1, a2, ac = fld(x, o, 4), fld(x, o + 4, 4), fld(x, o + 8, 2)
-            b1, b2, bc = fld(y, o, 4), fld(y, o + 4, 4), fld(y, o + 8, 2)
-            n1 = jnp.where(ac >= 1, a1, b1)
-            n2 = jnp.where(ac >= 2, a2, jnp.where(ac == 1, b1, b2))
-            nc = jnp.minimum(ac + bc, 2)
-            nx = nx | (n1 << o) | (n2 << (o + 4)) | (nc << (o + 8))
-        x = nx
-        d <<= 1
-    v1 = jnp.stack([fld(x, o, 4) for o in OFF], axis=-2)
-    v2 = jnp.stack([fld(x, o + 4, 4) for o in OFF], axis=-2)
+    C = 16
+    if n <= 2 * C or n % C:
+        d = 1
+        while d < n:
+            x = combine(x, suf(x, d))
+            d <<= 1
+    else:
+        nc = n // C
+        xr = x.reshape(x.shape[:-1] + (nc, C))
+        d = 1
+        while d < C:                      # intra-chunk suffix states
+            xr = combine(xr, suf(xr, d))
+            d <<= 1
+        s = xr[..., 0]                    # [..., nc] whole-chunk states
+        d = 1
+        while d < nc:                     # inclusive suffix over chunks
+            s = combine(s, suf(s, d))
+            d <<= 1
+        t = suf(s, 1)                     # state of everything AFTER chunk
+        x = combine(xr, t[..., None]).reshape(x.shape)
+    v1 = jnp.stack([fld(x, o + 4, 4) for o in OFF], axis=-2)
+    v2 = jnp.stack([fld(x, o, 4) for o in OFF], axis=-2)
     cnt = jnp.stack([fld(x, o + 8, 2) for o in OFF], axis=-2)
     return v1, v2, cnt
 
@@ -174,31 +233,48 @@ def _deposit_batched(planes, w, nwords: int):
     values <= 255 so bf16 is exact), w [N, T] int32
     -> [N, 8, nwords] float32.
 
-    The one-hot token->word matrix feeds the MXU without being
-    materialized in HBM (XLA fuses the compare into the contraction --
-    measured 12.6 ms at the c4 shape, [4096, 8, ~8k] x ~640 words).  A
-    VMEM-resident Pallas formulation of the same contraction was tried
-    and measured slightly slower (17 ms batched; 9x slower frame-per-
-    grid-instance), so the plain einsum stays."""
-    oh = (w[:, :, None] == jnp.arange(nwords)).astype(jnp.bfloat16)
-    return jnp.einsum("npt,ntw->npw", planes, oh,
-                      preferred_element_type=jnp.float32)
+    The word index factors as w = hi*8 + lo, splitting the deposit into
+    two one-hots whose build cost is T*(64 + nwords/8) instead of
+    T*nwords: the lo one-hot folds into the plane axis (8 planes x 8
+    residues = 64 MXU rows -- 4x better systolic-array row utilization
+    than the raw 8 planes) and the hi one-hot shrinks 8x.  Neither is
+    materialized in HBM (XLA fuses the compares into the contraction's
+    operand loads).  Measured at the c4 shape [4096, 8, ~4k] x 642
+    words: 15.4 ms flat -> 4.1 ms factored.  A VMEM-resident Pallas
+    formulation was tried and measured slower (17 ms), as was the flat
+    [N, 8, T] x [N, T, W] einsum (12.6-15.4 ms)."""
+    N = planes.shape[0]
+    W2 = 8
+    W1 = (nwords + W2 - 1) // W2
+    ohlo = ((w & (W2 - 1))[:, None, :]
+            == jnp.arange(W2)[:, None]).astype(jnp.bfloat16)   # [N,W2,T]
+    lhs = (planes[:, :, None, :] * ohlo[:, None, :, :]).reshape(
+        N, 8 * W2, -1)                                         # [N,64,T]
+    ohhi = ((w >> 3)[:, :, None] == jnp.arange(W1)).astype(jnp.bfloat16)
+    acc = jnp.einsum("nkt,ntw->nkw", lhs, ohhi,
+                     preferred_element_type=jnp.float32)       # [N,64,W1]
+    acc = acc.reshape(N, 8, W2, W1).transpose(0, 1, 3, 2)
+    return acc.reshape(N, 8, W1 * W2)[:, :, :nwords]
 
 
 _GROUP_CLASSES = ((1, 3, 5, (9, 3, 1)), (2, 3, 7, (25, 5, 1)),
                   (4, 2, 7, (11, 1)))
 
 
-def _mant_tokens(cls, q, validf):
-    """cls int8, q int32 [..., 1536]; validf [1536] -> (lens int8,
-    vals uint32) per coefficient in channel-major order, with grouped
-    classes combined onto their heads.
+def _mant_tokens(cls, q):
+    """cls int8, q int32 [..., L]: live coefficients only, channel-major
+    compacted (dead bins past each channel's nb_coefs dropped by static
+    slicing; L = sum(nb_coefs) padded to the scan chunk).  Returns
+    (lens int8, vals uint32) per compacted coefficient, with grouped
+    classes combined onto their heads.  Compaction keeps relative order,
+    so cross-channel group carries are untouched while the scans run on
+    ~73% of the padded [nch*256] lanes.
 
     The doubling scan's whole per-position state (first/second member
     value + count, for all three classes) packs into one int32 lane --
     see _first_two_after.
     """
-    cls = jnp.where(validf, cls, jnp.int8(0)).astype(jnp.int8)
+    cls = cls.astype(jnp.int8)
     # ungrouped lengths, arithmetically (no table gather):
     # 0 -> 0; 3 -> 3; 5..13 -> cls-1; 14 -> 14; 15 -> 16
     lens = jnp.where(cls >= 5, cls - 1,
@@ -309,10 +385,11 @@ def pack_frames_device(cfg):
         for s, gs in ((1, 1), (2, 2), (3, 4)):
             ng_by_strat[c, s] = _ngroups(int(nb[c]), gs)
 
-    valid_np = np.zeros((nch, 256), bool)
-    for c in range(nch):
-        valid_np[c, : nb[c]] = True
-    validf = jnp.asarray(valid_np.reshape(-1))
+    # compacted live-coefficient layout: channel ch occupies
+    # [coff[ch], coff[ch+1]) of L16 (= sum(nb) padded to the scan chunk)
+    coff = np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
+    L = int(coff[-1])
+    L16 = (L + 15) & ~15
     h1 = jnp.asarray(h1_np.astype(np.uint32))
     h2 = jnp.asarray(h2_np.astype(np.uint32))
     garange = np.arange(gmax)
@@ -321,9 +398,15 @@ def pack_frames_device(cfg):
         """One frame's combined token stream: (w, p0, p1) per token."""
         strat_e = strat.astype(jnp.int32)                    # [6, nch]
         reuse = strat_e == 0
+
+        def compact(x):
+            parts = [x[:, c, : int(nb[c])] for c in range(nch)]
+            if L16 > L:
+                parts.append(jnp.zeros((6, L16 - L), x.dtype))
+            return jnp.concatenate(parts, axis=-1)
+
         mant_lens, mant_vals = _mant_tokens(
-            bap.astype(jnp.int8).reshape(6, nch * 256),
-            qmant.reshape(6, nch * 256), validf)             # [6, 1536]
+            compact(bap.astype(jnp.int8)), compact(qmant))   # [6, L16]
         grp7 = _exp_group_tokens(enc_exp.astype(jnp.int16), strat_e, nb)
         # actual group count per (blk, ch) selected from the static table
         ngt = jnp.asarray(ng_by_strat)                       # [nch, 4]
@@ -403,12 +486,11 @@ def pack_frames_device(cfg):
                     const(3, 4)               # fgaincod
             const(1, 0)                       # deltbaie
             const(1, 0)                       # skiple
-            # static slice: coefficients past nb_coefs[ch] are always
-            # zero-length tokens -- drop them from the deposit stream
+            # static slice into the compacted layout (dead bins never
+            # entered the scan)
             for ch in range(nch):
-                s = ch * 256
-                dyn(mant_lens[blk, s: s + int(nb[ch])],
-                    mant_vals[blk, s: s + int(nb[ch])])
+                dyn(mant_lens[blk, int(coff[ch]): int(coff[ch + 1])],
+                    mant_vals[blk, int(coff[ch]): int(coff[ch + 1])])
         flush()
         lens = jnp.concatenate(lens_parts)
         vals = jnp.concatenate(vals_parts)
