@@ -7,10 +7,11 @@ values are data), so the whole frame assembles as
 
     token lengths -> exclusive prefix sum  = absolute bit offsets
     token values  -> two-word shifted deposit (disjoint bits: add == or)
-    CRC1/CRC2     -> GF(2)-linear maps of the payload bytes: a per-byte-
-                     position constant table + an XOR reduction (the
-                     pow_poly crc1 back-patch of ac3enc.cpp:1599-1638
-                     folds into the table at trace time)
+    CRC1/CRC2     -> GF(2)-linear maps of the payload bits: a STATIC 0/1
+                     parity matrix contracted with the payload-bit vector
+                     on the MXU, parity taken mod 2 (the pow_poly crc1
+                     back-patch of ac3enc.cpp:1599-1638 folds into the
+                     matrix at trace time)
 
 The output is the final serial frame as uint8 [frame_size*2] on device --
 byte-identical to host/pack.py:pack_frame (cross-checked in
@@ -286,7 +287,14 @@ def _mant_tokens(cls, q):
     # grouped classes: one packed doubling scan over all three classes
     m = jnp.stack([cls == c for c, _, _, _ in _GROUP_CLASSES], axis=-2)
     qg = q & 15                           # grouped q <= 10; masked elsewhere
-    ordn = _psum_incl(m.astype(jnp.int16)) - 1
+    # all three class ordinals in ONE prefix sum: 11-bit fields (class
+    # counts <= L <= 1536 < 2048, disjoint classes never carry across)
+    packed = jnp.zeros(q.shape, jnp.int32)
+    for idx, (c, _, _, _) in enumerate(_GROUP_CLASSES):
+        packed = packed + jnp.where(cls == c, 1 << (11 * idx), 0)
+    ps = _psum_incl(packed)
+    ordn = jnp.stack([((ps >> (11 * i)) & 0x7FF) - 1 for i in range(3)],
+                     axis=-2)
     # strictly-after view: first/second member after position i
     a1, a2, acnt = _first_two_after(qg, m)
 
@@ -341,20 +349,6 @@ def _exp_group_tokens(enc_exp, strat, nb):
     return jnp.where(s == 1, g1, jnp.where(s == 2, g2, g4)).astype(jnp.uint32)
 
 
-def _xor_reduce(x):
-    """XOR-fold along the last axis (log2 halving steps)."""
-    n = x.shape[-1]
-    while n > 1:
-        half = (n + 1) // 2
-        pad = half * 2 - n
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
-        x = x[..., :half] ^ x[..., half:]
-        n = half
-    return x[..., 0]
-
-
 # ---------------------------------------------------------------------------
 # the packer
 # ---------------------------------------------------------------------------
@@ -390,8 +384,19 @@ def pack_frames_device(cfg):
     coff = np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
     L = int(coff[-1])
     L16 = (L + 15) & ~15
-    h1 = jnp.asarray(h1_np.astype(np.uint32))
-    h2 = jnp.asarray(h2_np.astype(np.uint32))
+
+    # CRC parity matrices: bit k of the CRC is the GF(2) sum (= parity)
+    # of h[i,j] bit k over the set payload bits (i,j) -- an integer
+    # matmul mod 2, so the XOR fold becomes one [T,16] MXU contraction
+    # of the payload-bit vector with a STATIC 0/1 matrix (exact in bf16,
+    # sums <= T < 2^24 exact in f32)
+    def parity_matrix(h):
+        return jnp.asarray(
+            ((h[:, :, None].astype(np.uint32) >> np.arange(16)) & 1)
+            .reshape(-1, 16).astype(np.float32)).astype(jnp.bfloat16)
+
+    hk1 = parity_matrix(h1_np)
+    hk2 = parity_matrix(h2_np)
     garange = np.arange(gmax)
 
     def tokens(bap, qmant, enc_exp, strat, csnr, fsnr):
@@ -546,15 +551,19 @@ def pack_frames_device(cfg):
         byte_idx = jnp.arange(total)
         all_bytes = jnp.where(byte_idx >= total - 2, 0, all_bytes)
 
-        # ---- CRCs as constant-table selects + XOR fold --------------------
-        def crc_of(region, h):
-            bits = (region[:, None] >> jnp.asarray(
-                np.arange(8, dtype=np.uint32))[None, :]) & 1
-            contrib = jnp.where(bits.astype(bool), h, 0)
-            return _xor_reduce(contrib.reshape(-1))
+        # ---- CRCs as a parity matmul (GF(2)-linear; see parity_matrix) ----
+        def crc_of(region, hk):
+            bits = ((region[:, None] >> jnp.asarray(
+                np.arange(8, dtype=np.uint32))[None, :]) & 1)
+            b = bits.reshape(-1).astype(jnp.bfloat16)
+            s = jnp.einsum("t,tk->k", b, hk,
+                           preferred_element_type=jnp.float32)
+            par = s.astype(jnp.int32) & 1
+            return jnp.sum(
+                par << jnp.arange(16), dtype=jnp.int32).astype(jnp.uint32)
 
-        crc1 = crc_of(all_bytes[4: 2 * fs58], h1)
-        crc2 = crc_of(all_bytes[2 * fs58: total - 2], h2)
+        crc1 = crc_of(all_bytes[4: 2 * fs58], hk1)
+        crc2 = crc_of(all_bytes[2 * fs58: total - 2], hk2)
         all_bytes = all_bytes.at[2].set(crc1 >> 8)
         all_bytes = all_bytes.at[3].set(crc1 & 0xFF)
         all_bytes = all_bytes.at[total - 2].set(crc2 >> 8)

@@ -192,3 +192,33 @@ def test_batched_encoder_pack_modes_agree():
         stacked = np.stack([pcm, pcm, pcm])
         outs[mode] = enc.encode_frames(stacked)
     assert outs["device"] == outs["native"]
+
+
+def test_pack_scan_primitives_match_brute_force():
+    """The device packer's two-level scans (prefix sum; 'first two class
+    members after me' pointer doubling) against brute force, at lengths
+    that hit both the chunked and the plain code paths."""
+    import jax.numpy as jnp
+    from ac3acm_tpu.ops.pack_device import _first_two_after, _psum_incl
+
+    rng = np.random.default_rng(0)
+    for n in (1136, 448, 64, 33):
+        x = rng.integers(0, 20, (4, n)).astype(np.int16)
+        got = np.asarray(_psum_incl(jnp.asarray(x)))
+        assert (got == np.cumsum(x, -1).astype(np.int16)).all(), n
+
+    n = 1136
+    q = rng.integers(0, 11, (3, n)).astype(np.int32)
+    cls = rng.integers(0, 5, (3, n))
+    m = np.stack([cls == c for c in (1, 2, 3)], axis=-2)
+    v1, v2, cnt = (np.asarray(v)
+                   for v in _first_two_after(jnp.asarray(q), jnp.asarray(m)))
+    for b in range(3):
+        for c in range(3):
+            for i in range(0, n, 61):
+                pos = [j for j in range(i, n) if m[b, c, j]][:2]
+                assert cnt[b, c, i] == len(pos)
+                if len(pos) >= 1:
+                    assert v1[b, c, i] == q[b, pos[0]] & 15
+                if len(pos) >= 2:
+                    assert v2[b, c, i] == q[b, pos[1]] & 15
