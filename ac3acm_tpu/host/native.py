@@ -26,7 +26,7 @@ _lib = None
 
 # block-float scale groups per premixed plane (32 bins each); must match
 # native/ac3host.cpp PRE_GROUPS
-PRE_GROUPS = 8
+PRE_GROUPS = 16
 
 # a52_dynrng user-callback signature: float fn(float range, void* data)
 DYNRNG_CB = C.CFUNCTYPE(C.c_float, C.c_float, C.c_void_p)
@@ -459,7 +459,7 @@ class DenseBatchParser:
 
         compact=True additionally emits the premixed planes in block-float
         form -- int16 mantissas ("freq_man") + one f32 scale per
-        (block, plane, 32-bin group) ("freq_scale"), freq = man * scale --
+        (block, plane, 16-bin group) ("freq_scale"), freq = man * scale --
         halving the bytes the decode pipeline has to ship to the device."""
         L, R = self.nlanes, maxframes * 6
         assert len(bufs) == L

@@ -52,6 +52,20 @@ class StreamFormat:
     def nch_out(self) -> int:
         return self.nf_out + (1 if self.lfe_out else 0)
 
+    @property
+    def identity_mix(self) -> bool:
+        """True when the time-domain mixer is a no-op for this format
+        (the identity pairs of downmix.c:480-619: output mode == acmod, or
+        STEREO->DOLBY) and no channel takes its bias from the mix
+        (chanbias == 0).  Such passthrough decodes qualify for the
+        premixed fast path too: the host premix is rematrix-only and
+        ships nfchans (+LFE) planes instead of all 6."""
+        out = self.output & T.A52_CHANNEL_MASK
+        if self.nf_out != self.nfchans or self.chanbias != 0:
+            return False
+        return out == self.acmod or (self.acmod == T.A52_STEREO
+                                     and out == T.A52_DOLBY)
+
 
 def _block_step(fmt: StreamFormat, carry, blk, filterbank=filterbank):
     """One a52_block worth of device math.  carry = (delay [6,128], downmixed).
@@ -272,7 +286,8 @@ def _pipeline_steady(fmt: StreamFormat, carry, blocks,
     delay, downmixed = carry
     freq = blocks["freq"]          # [n, 6, 256]; premixed: [n, nfo(+1), 256]
     if premixed:
-        assert reduces, "premixed blocks require the freq (reduces) path"
+        assert reduces or fmt.identity_mix, \
+            "premixed blocks require the freq path or an identity mix"
     if fmt.acmod == T.A52_STEREO and not premixed:
         s0, s1 = freq[:, 0], freq[:, 1]
         m = blocks["remat"]
@@ -312,6 +327,18 @@ def _pipeline_steady(fmt: StreamFormat, carry, blocks,
         # planes nf_out..4 stay stale, exactly like the scan's d_f_full
         new_delay = new_delay.at[fmt.nf_out: 5].set(d0[fmt.nf_out:])
         carry = (new_delay, jnp.ones((), bool))
+    elif premixed:
+        # passthrough premix (identity mix, chanbias == 0): the host
+        # applied rematrixing and ships only the real planes; upmix,
+        # bias masking and the output mix are all no-ops for this
+        # format, and the unused upper delay planes land exactly where
+        # the generic path puts them (zd of all-zero planes == 0)
+        nfo = fmt.nf_out
+        z_t, d_t = split_fb(freq[:, :nfo], blksw[:, :nfo])
+        out = ola(z_t, chain(d_t, delay[:nfo]), bias)
+        new_delay = new_delay.at[:nfo].set(d_t[-1])
+        new_delay = new_delay.at[nfo:5].set(0.0)
+        carry = (new_delay, jnp.zeros((), bool))
     else:
         z_t, d_t = split_fb(fbw, blksw)
         d0 = jnp.where(downmixed, upmix(delay[:5], fmt.acmod, fmt.output),
@@ -334,8 +361,13 @@ def premix_blocks(fmt: StreamFormat, blocks) -> dict:
     the mixer sums in numpy (identical IEEE f32 adds to the device) and
     ships only the nf_out (+LFE) planes -- 2-3x less host->device volume
     and pipeline input reads.  Only valid together with the steady path
-    (checked by steady_ok); LFE plane, when present, comes last."""
-    assert fmt.nf_out < fmt.nfchans, "premix requires the freq (reduces) path"
+    (checked by steady_ok); LFE plane, when present, comes last.
+
+    Identity-mix passthrough formats (fmt.identity_mix, e.g. stereo->
+    stereo) qualify too: the mix below is then a no-op and the premix is
+    rematrix-only."""
+    assert fmt.nf_out < fmt.nfchans or fmt.identity_mix, \
+        "premix requires the freq (reduces) path or an identity mix"
     freq = np.asarray(blocks["freq"])                  # [..., n, 6, 256]
     if fmt.acmod == T.A52_STEREO:
         m = np.asarray(blocks["remat"])

@@ -33,7 +33,7 @@ from functools import lru_cache
 def _expand_compact(blocks):
     """Reconstruct f32 premixed planes from block-float H2D form inside
     the jitted body: freq = man(int16) * scale(f32 per block, plane,
-    32-bin group).  The compact form halves host->device bytes (the e2e
+    16-bin group).  The compact form halves host->device bytes (the e2e
     bottleneck on slow links); XLA fuses the rescale into the first
     consumer."""
     if "freq_man" not in blocks:
@@ -53,23 +53,33 @@ def _fused_run(fmt: StreamFormat):
     dispatch: matmul + OLA + int16 conversion in one VMEM-resident kernel
     (ops.pallas_steady.fused_steady), with the same entry fixups and carry
     layout as _pipeline_steady -- the production fast path on TPU.
+
+    Serves both premixed layouts: reducing mixes (freq path) and identity-
+    mix passthrough (time path, fmt.identity_mix -- e.g. stereo->stereo),
+    which differ only in the entry/exit delay fixups.
     """
     from ..ops.downmix import downmix
     from ..ops.pallas_steady import fused_steady
     nfo = fmt.nf_out
+    passthrough = not (nfo < fmt.nfchans)         # identity premix
 
     def run(carry, blocks):
         delay, downmixed = carry                  # [B,6,128], [B]
         blocks = _expand_compact(blocks)
         freq = blocks["freq"]                     # [B,n,P,256]; LFE last
         bias = blocks["bias"]                     # [B,n]
-        zero = jnp.zeros((), jnp.float32)
-        # entry fixup: a carry from a time-path chunk holds per-channel
-        # delays; downmix once (the scan's first-step behaviour)
-        d_mix = jax.vmap(lambda d: downmix(d, fmt.acmod, fmt.output, zero,
-                                           slev_zero=fmt.slev_zero))(
-            delay[:, :5])
-        d0f = jnp.where(downmixed[:, None, None], delay[:, :5], d_mix)
+        if passthrough:
+            # identity upmix: the time path's entry fixup is a no-op
+            d0f = delay[:, :5]
+        else:
+            zero = jnp.zeros((), jnp.float32)
+            # entry fixup: a carry from a time-path chunk holds per-channel
+            # delays; downmix once (the scan's first-step behaviour)
+            d_mix = jax.vmap(lambda d: downmix(d, fmt.acmod, fmt.output,
+                                               zero,
+                                               slev_zero=fmt.slev_zero))(
+                delay[:, :5])
+            d0f = jnp.where(downmixed[:, None, None], delay[:, :5], d_mix)
         parts = [d0f[:, :nfo]]
         if fmt.lfe_out:
             parts.append(delay[:, 5:6])
@@ -79,11 +89,17 @@ def _fused_run(fmt: StreamFormat):
             pcm = jnp.concatenate([pcm[:, :, nfo:], pcm[:, :, :nfo]],
                                   axis=2)
         new_delay = delay.at[:, :nfo].set(dlast[:, :nfo])
-        # planes nf_out..4 stay stale (post-fixup), like the scan path
-        new_delay = new_delay.at[:, nfo:5].set(d0f[:, nfo:])
+        if passthrough:
+            # unused planes get the zd of all-zero inputs, exactly 0
+            new_delay = new_delay.at[:, nfo:5].set(0.0)
+            flag = jnp.zeros_like(downmixed)
+        else:
+            # planes nf_out..4 stay stale (post-fixup), like the scan path
+            new_delay = new_delay.at[:, nfo:5].set(d0f[:, nfo:])
+            flag = jnp.ones_like(downmixed)
         if fmt.lfe_out:
             new_delay = new_delay.at[:, 5].set(dlast[:, nfo])
-        return (new_delay, jnp.ones_like(downmixed)), pcm
+        return (new_delay, flag), pcm
 
     return run
 
@@ -377,7 +393,7 @@ class BatchedDecoder:
         if steady_ok(fmt, blocks):
             from ..models.decoder import premix_blocks
             lo = not np.asarray(blocks["blksw"]).any()
-            pre = fmt.nf_out < fmt.nfchans
+            pre = fmt.nf_out < fmt.nfchans or fmt.identity_mix
             if pre:
                 blocks = premix_blocks(fmt, blocks)
             fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
@@ -408,12 +424,19 @@ class BatchedDecoder:
                                       np.float32(0.0), np.float32(0.0))
                 if out < 0:
                     return 0
-                nf_out = int(T.NFCHANS[out & T.A52_CHANNEL_MASK])
-                if nf_out >= int(T.NFCHANS[acmod_in]):
-                    return 0                 # no premix: not a reducing mix
+                outm = out & T.A52_CHANNEL_MASK
+                nf_out = int(T.NFCHANS[outm])
                 lfe = 1 if (sflags & T.A52_LFE) and (self.flags & T.A52_LFE) \
                     else 0
-                return nf_out + lfe
+                if nf_out < int(T.NFCHANS[acmod_in]):
+                    return nf_out + lfe      # reducing mix (freq path)
+                if nf_out == int(T.NFCHANS[acmod_in]) and (
+                        outm == acmod_in or
+                        (acmod_in == T.A52_STEREO and outm == T.A52_DOLBY)):
+                    # identity-mix passthrough (chanbias is always 0 for
+                    # these pairs): premix = rematrix only
+                    return nf_out + lfe
+                return 0                     # upmix / non-identity: no premix
         return None                          # no header yet; retry later
 
     @staticmethod
@@ -510,7 +533,9 @@ class BatchedDecoder:
                 fmt = (next(iter(lane_fmts)) if lane_fmts
                        else self._fmt_from_meta(None))
                 valid = r["valid"][:, :nf].astype(bool)
-                premix_all = (pp > 0 and fmt.nf_out < fmt.nfchans
+                premix_all = (pp > 0
+                              and (fmt.nf_out < fmt.nfchans
+                                   or fmt.identity_mix)
                               and bool(r["premix_ok"][:, :nf].all()))
                 compact = premix_all and r["freq_man"] is not None
                 return self._run_native(
@@ -539,7 +564,8 @@ class BatchedDecoder:
         meta = next((fr["meta"] for frames in emit for fr in frames
                      if fr["meta"] is not None), None)
         fmt = self._fmt_from_meta(meta)
-        premix_all = (pp > 0 and fmt.nf_out < fmt.nfchans
+        premix_all = (pp > 0
+                      and (fmt.nf_out < fmt.nfchans or fmt.identity_mix)
                       and all(fr["premix_ok"] and fr["freq_pre"] is not None
                               for frames in emit for fr in frames))
         cat = lambda key: np.stack(
@@ -580,6 +606,19 @@ class BatchedDecoder:
                     "coeff": obj["coeff"],
                     "remat": obj["remat"].astype(bool), "bias": obj["bias"]}
         return _stack_blocks([obj])
+
+    @staticmethod
+    def _premixed_frame(obj, fmt):
+        """Premixed [6, nch_out, 256] block tensors for one native frame
+        slice, or None when the frame doesn't carry a valid premix (python-
+        parser FrameData, premix-ineligible frame, or plane-count mismatch
+        after a format change)."""
+        if not isinstance(obj, dict) or not obj.get("premix_ok"):
+            return None
+        fp = obj.get("freq_pre")
+        if fp is None or fp.shape[-2] != fmt.nch_out:
+            return None
+        return {"freq": fp, "blksw": obj["blksw"], "bias": obj["bias"]}
 
     def _bucket_size(self, nsel: int) -> int:
         """Static sub-batch sizes: next power of two (compile ladder of
@@ -644,11 +683,32 @@ class BatchedDecoder:
             m_all = np.array(self._carry[1])
             for fmt, sel in groups.items():
                 bb = self._bucket_size(len(sel))
-                rows = [self._generic_blocks(per_lane[li][fi])
-                        if per_lane[li][fi] is not None else empty
+                # premixed bucket: every present frame carries a native
+                # premix for this format (absent/invalid lanes use zero
+                # planes, valid in either layout) -- the bucket then rides
+                # the same premixed steady/fused dispatch as homogeneous
+                # batches instead of re-shipping 6 full planes
+                pres = [self._premixed_frame(per_lane[li][fi], fmt)
+                        if per_lane[li][fi] is not None else "zero"
                         for li in sel]
-                rows += [empty] * (bb - len(sel))
-                blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+                pre_eligible = ((fmt.nf_out < fmt.nfchans
+                                 or fmt.identity_mix)
+                                and all(p is not None for p in pres))
+                if pre_eligible:
+                    empty_pre = {
+                        "freq": np.zeros((6, fmt.nch_out, 256), np.float32),
+                        "blksw": np.zeros((6, 5), bool),
+                        "bias": np.full((6,), np.float32(self.bias)),
+                    }
+                    rows = [empty_pre if p == "zero" else p for p in pres]
+                    rows += [empty_pre] * (bb - len(sel))
+                    blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+                else:
+                    rows = [self._generic_blocks(per_lane[li][fi])
+                            if per_lane[li][fi] is not None else empty
+                            for li in sel]
+                    rows += [empty] * (bb - len(sel))
+                    blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
                 carry = (jnp.asarray(np.concatenate(
                              [d_all[sel],
                               np.zeros((bb - len(sel), 6, 128),
@@ -656,9 +716,14 @@ class BatchedDecoder:
                          jnp.asarray(np.concatenate(
                              [m_all[sel],
                               np.ones(bb - len(sel), bool)])))
-                if steady_ok(fmt, blocks):
+                if pre_eligible:
                     lo = not np.asarray(blocks["blksw"]).any()
-                    pre = fmt.nf_out < fmt.nfchans
+                    fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
+                                          steady=True, long_only=lo,
+                                          premixed=True)
+                elif steady_ok(fmt, blocks):
+                    lo = not np.asarray(blocks["blksw"]).any()
+                    pre = fmt.nf_out < fmt.nfchans or fmt.identity_mix
                     if pre:
                         blocks = premix_blocks(fmt, blocks)
                     fn = batched_pipeline(fmt, self.mesh, self.emit_int16,

@@ -329,7 +329,7 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
             f"frames in {dt * 1000:.0f} ms -> {xrt:.0f}x realtime")
         out[mode] = round(xrt, 1)
     # auditable transfer accounting (stereo premix, P=2 planes):
-    # f32 planes vs block-float mantissas + per-32-bin-group scales
+    # f32 planes vs block-float mantissas + per-16-bin-group scales
     P_pl = 2
     out["h2d_bytes_per_frame_f32"] = 6 * (P_pl * 256 * 4 + 5 + 4)
     out["h2d_bytes_per_frame_compact"] = 6 * (P_pl * 256 * 2

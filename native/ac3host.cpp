@@ -1420,7 +1420,7 @@ extern "C" void ac3h_dec_get_delay(NativeDecoder* d, float* out, int* dmx) {
 
 // block-float scale groups per premixed plane (32 bins each); must match
 // ac3acm_tpu/host/native.py PRE_GROUPS and pipeline._expand_compact
-static const int PRE_GROUPS = 8;
+static const int PRE_GROUPS = 16;
 
 // rows are blocks: row = frame * 6 + blk
 struct DenseStride {
@@ -1438,7 +1438,7 @@ extern "C" int ac3h_parse_dense(
                              //   block-float mantissas of freq_pre (compact
                              //   H2D: 2 B/coef instead of 4)
     float* pre_scale,        // [maxframes*6, pre_planes, PRE_GROUPS] or
-                             //   null: per-32-bin-group scale;
+                             //   null: per-16-bin-group scale;
                              //   freq = man * scale
     uint8_t* blksw,          // [maxframes*6, 5]
     float* coeff,            // [maxframes*6, 5]
@@ -1496,7 +1496,13 @@ extern "C" int ac3h_parse_dense(
         int lfe = (fo.output & A52_LFE) ? 1 : 0;
         bool slev_zero = fo.slev == 0.0f;
         bool reduces = nf_out < nf;
-        bool pre_eligible = reduces && freq_pre
+        const uint8_t* prog = mix_program(fo.acmod, fo.output, slev_zero);
+        // passthrough premix: identity time-domain mix (MP_NONE program,
+        // e.g. stereo->stereo) with no bias-in-mix channel -- the premix is
+        // then rematrix-only and ships nf (+LFE) planes instead of 6
+        bool ident = !reduces && nf_out == nf && *prog == MXEND
+                     && fo.chanbias == 0;
+        bool pre_eligible = (reduces || ident) && freq_pre
                             && pre_planes == nf_out + lfe;
         for (int b = 0; b < 6; b++) {
             int64_t row = row0 + b;
@@ -1504,12 +1510,19 @@ extern "C" int ac3h_parse_dense(
             memcpy(coeff + row * 5, fo.coeff[b], 20);
             memcpy(remat + row * 256, fo.remat[b], 256);
             biasv[row] = fo.bias;
-            for (int ch = 1; ch < nf; ch++)
-                if (fo.blksw[b][ch] != fo.blksw[b][0]) pre_eligible = false;
+            if (reduces) {
+                // steady freq-path validity: uniform blksw across channels
+                for (int ch = 1; ch < nf; ch++)
+                    if (fo.blksw[b][ch] != fo.blksw[b][0])
+                        pre_eligible = false;
+            } else if (ident) {
+                // steady time-path validity: no skipped (zero-coeff)
+                // channel, whose delay-keep is a real recurrence
+                for (int ch = 0; ch < nf; ch++)
+                    if (fo.coeff[b][ch] == 0.0f) pre_eligible = false;
+            }
         }
         if (pre_eligible) {
-            const uint8_t* prog =
-                mix_program(fo.acmod, fo.output, slev_zero);
             for (int b = 0; b < 6; b++) {
                 int64_t row = row0 + b;
                 const float* ff = freq_full + row * 6 * 256;
@@ -1541,7 +1554,7 @@ extern "C" int ac3h_parse_dense(
                 if (lfe)                         // LFE plane comes last
                     memcpy(fp + nf_out * 256, ff + 5 * 256, 1024);
                 if (pre_man) {
-                    // block-float: one shared exponent per 32-bin group
+                    // block-float: one shared exponent per 16-bin group
                     // (spectra decay steeply, so a per-plane exponent
                     // would quantize the high bins against the plane max
                     // and drift the PCM by several LSB); with per-group

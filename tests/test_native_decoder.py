@@ -150,6 +150,63 @@ def test_compact_h2d():
     assert (d != 0).mean() < 0.25
 
 
+def test_passthrough_premix_native():
+    """Identity-mix passthrough (stereo->stereo, the reference's most
+    common decode): the native parser emits rematrix-only premixed planes
+    (premix_ok) and the batched pipeline output equals the python-parser
+    path bitwise -- the fast path changes the layout, never the samples."""
+    import os
+    from ac3acm_tpu.host.native import DenseBatchParser
+    from ac3acm_tpu.parallel.pipeline import BatchedDecoder
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "stereo_192.ac3")
+    es = open(golden, "rb").read()
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    B = 4
+
+    # the parser must actually premix (2 planes instead of 6 over the link)
+    d = DenseBatchParser(B)
+    r = d.parse([es] * B, 4, flags, 1.0, 384.0, pre_planes=2)
+    assert (r["nframes"] == 4).all()
+    assert r["premix_ok"][:, :4].all(), "stereo passthrough must premix"
+
+    outs = {}
+    for parser in ("native", "python"):
+        dec = BatchedDecoder(B, flags, bias=384.0, emit_int16=True,
+                             parser=parser)
+        for i in range(B):
+            dec.feed(i, es)
+        if parser == "native":
+            assert dec._expected_pre_planes() == 2
+        pcm, valid = dec.decode_available(max_frames=4)
+        assert valid.all()
+        outs[parser] = np.asarray(pcm)
+    np.testing.assert_array_equal(outs["native"], outs["python"])
+
+
+def test_passthrough_premix_compact():
+    """Compact block-float H2D on the passthrough premix path: <=1 LSB
+    drift vs the f32 planes (same contract as the reducing-mix case)."""
+    import os
+    from ac3acm_tpu.parallel.pipeline import BatchedDecoder
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "stereo_192.ac3")
+    es = open(golden, "rb").read()
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    B = 3
+    outs = {}
+    for compact in (False, True):
+        dec = BatchedDecoder(B, flags, bias=384.0, emit_int16=True,
+                             parser="native", compact_h2d=compact)
+        for i in range(B):
+            dec.feed(i, es)
+        pcm, valid = dec.decode_available(max_frames=4)
+        assert valid.all()
+        outs[compact] = np.asarray(pcm, np.int64)
+    d = np.abs(outs[True] - outs[False])
+    assert d.max() <= 1, f"compact passthrough drifted {d.max()} LSB"
+
+
 def test_compact_h2d_uneven_lanes():
     """Compact form through the pending/frame-slice path (uneven lane
     feeds force per-frame reassembly instead of the dense fast path)."""

@@ -20,6 +20,13 @@ FMT_51_20 = StreamFormat(acmod=T.A52_3F2R, output=T.A52_STEREO,
 FMT_51_20_LFE = StreamFormat(acmod=T.A52_3F2R,
                              output=T.A52_STEREO | T.A52_LFE,
                              slev_zero=False, chanbias=0)
+# identity-mix passthrough premix (the time path: stereo->stereo is the
+# reference's most common decode)
+FMT_20_20 = StreamFormat(acmod=T.A52_STEREO, output=T.A52_STEREO,
+                         slev_zero=True, chanbias=0)
+FMT_51_51_LFE = StreamFormat(acmod=T.A52_3F2R,
+                             output=T.A52_3F2R | T.A52_LFE,
+                             slev_zero=False, chanbias=0)
 
 
 def _chunks(fmt, rng, B=4, n=12, nchunks=2):
@@ -46,8 +53,10 @@ def _run(fmt, chunks, pallas, carry0):
     return carry, np.concatenate(pcms, axis=1)
 
 
-@pytest.mark.parametrize("fmt", [FMT_51_20, FMT_51_20_LFE],
-                         ids=["5.1to2.0", "5.1to2.0+LFE"])
+@pytest.mark.parametrize("fmt", [FMT_51_20, FMT_51_20_LFE, FMT_20_20,
+                                 FMT_51_51_LFE],
+                         ids=["5.1to2.0", "5.1to2.0+LFE", "2.0pass",
+                              "5.1pass+LFE"])
 @pytest.mark.parametrize("downmixed0", [True, False])
 def test_fused_dispatch_matches_xla_steady(fmt, downmixed0):
     """batched_pipeline(pallas=True) == pallas=False within 1 int16 LSB,
@@ -100,6 +109,8 @@ def test_fused_gate_on_tpu():
     from ac3acm_tpu.parallel.pipeline import fused_gate_ok
     assert fused_gate_ok(FMT_51_20)
     assert fused_gate_ok(FMT_51_20_LFE)
+    assert fused_gate_ok(FMT_20_20)
+    assert fused_gate_ok(FMT_51_51_LFE)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

@@ -144,3 +144,49 @@ def test_premixed_matches_steady(fmt):
     # where the premixed body never wrote them)
     np.testing.assert_array_equal(np.asarray(c1[0])[: fmt.nf_out],
                                   np.asarray(c2[0])[: fmt.nf_out])
+
+
+@pytest.mark.parametrize("fmt", [
+    StreamFormat(acmod=T.A52_STEREO, output=T.A52_STEREO, slev_zero=True,
+                 chanbias=0),
+    StreamFormat(acmod=T.A52_STEREO, output=T.A52_DOLBY, slev_zero=True,
+                 chanbias=0),
+    StreamFormat(acmod=T.A52_3F2R, output=T.A52_3F2R | T.A52_LFE,
+                 slev_zero=False, chanbias=0),
+    StreamFormat(acmod=T.A52_MONO, output=T.A52_MONO, slev_zero=True,
+                 chanbias=0),
+], ids=["2.0pass", "2.0dolby", "5.1pass", "monopass"])
+def test_premixed_passthrough_matches_steady(fmt):
+    """Identity-mix passthrough formats (fmt.identity_mix) through the
+    premixed time-path steady body equal the generic steady body
+    bit-for-bit, including the full delay carry (the premix here is
+    rematrix-only; parser-dead planes are zero as the host emits them)."""
+    from ac3acm_tpu.models.decoder import (_pipeline_steady, init_carry,
+                                           premix_blocks, steady_ok)
+    assert fmt.identity_mix
+    rng = np.random.default_rng(41)
+    n = 8
+    blocks = _rand_blocks(rng, n)
+    # parser-realistic inputs: planes past the coded channels are zero
+    # (the generic body then writes exactly-zero delays there, which the
+    # premixed body reproduces), per-channel blksw is allowed on the
+    # time path
+    blocks["freq"][:, fmt.nfchans:5] = 0.0
+    if not fmt.lfe_out:      # LFE rides plane 5 in the generic layout
+        blocks["freq"][:, 5:] = 0.0
+    assert steady_ok(fmt, blocks)
+    pre = premix_blocks(fmt, blocks)
+    assert pre["freq"].shape == (n, fmt.nch_out, 256)
+    for dmx0 in (True, False):
+        carry = (jnp.asarray(np.asarray(init_carry()[0])
+                             + rng.standard_normal((6, 128))
+                             .astype(np.float32)),
+                 jnp.asarray(dmx0))
+        c1, p1 = _pipeline_steady(fmt, carry,
+                                  jax.tree.map(jnp.asarray, blocks))
+        c2, p2 = _pipeline_steady(fmt, carry,
+                                  jax.tree.map(jnp.asarray, pre),
+                                  premixed=True)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
+        assert bool(c1[1]) == bool(c2[1])
