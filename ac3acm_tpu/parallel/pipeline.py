@@ -667,7 +667,15 @@ class BatchedDecoder:
             fmts.append(lane_fmts)
         nch_max = max(f.nch_out for row in fmts for f in row)
         dtype = np.int16 if self.emit_int16 else np.float32
-        out = np.zeros((B, nf * 6, nch_max, 256), dtype)
+        # the whole frame x bucket loop runs WITHOUT a device sync: carries
+        # are gathered/scattered by index on device, bucket PCM lands in a
+        # device output buffer, and the single fetch at the end drains the
+        # queued work -- per-frame host round-trips otherwise dominate on
+        # high-latency links (with a mesh the carry stays host-side: the
+        # resharding gathers aren't worth it for that rare combination)
+        on_device = self.mesh is None
+        out = (jnp.zeros((B, nf * 6, nch_max, 256), dtype) if on_device
+               else np.zeros((B, nf * 6, nch_max, 256), dtype))
         empty = {
             "freq": np.zeros((6, 6, 256), np.float32),
             "blksw": np.zeros((6, 5), bool),
@@ -675,12 +683,33 @@ class BatchedDecoder:
             "remat": np.zeros((6, 256), bool),
             "bias": np.full((6,), np.float32(self.bias)),
         }
-        for fi in range(nf):
+        d_all = (jnp.asarray(self._carry[0]) if on_device
+                 else np.array(self._carry[0]))
+        m_all = (jnp.asarray(self._carry[1]) if on_device
+                 else np.array(self._carry[1]))
+        seg0 = 0
+        while seg0 < nf:
+            # segment = maximal run of frames with an identical per-lane
+            # format assignment (the common case -- no mid-stream change --
+            # is ONE segment): each bucket then dispatches once over all
+            # the segment's frames instead of once per frame
+            key = [fmts[li][seg0] for li in range(B)]
+            seg1 = seg0 + 1
+            while seg1 < nf and all(fmts[li][seg1] == key[li]
+                                    for li in range(B)):
+                seg1 += 1
+            fr = range(seg0, seg1)
+            ns = seg1 - seg0
             groups = {}
             for li in range(B):
-                groups.setdefault(fmts[li][fi], []).append(li)
-            d_all = np.array(self._carry[0])
-            m_all = np.array(self._carry[1])
+                groups.setdefault(key[li], []).append(li)
+
+            def catframes(frames):
+                """Per-frame [6, ...] block dicts -> one [ns*6, ...] chunk."""
+                if len(frames) == 1:
+                    return frames[0]
+                return jax.tree.map(lambda *xs: np.concatenate(xs), *frames)
+
             for fmt, sel in groups.items():
                 bb = self._bucket_size(len(sel))
                 # premixed bucket: every present frame carries a native
@@ -688,34 +717,50 @@ class BatchedDecoder:
                 # planes, valid in either layout) -- the bucket then rides
                 # the same premixed steady/fused dispatch as homogeneous
                 # batches instead of re-shipping 6 full planes
-                pres = [self._premixed_frame(per_lane[li][fi], fmt)
-                        if per_lane[li][fi] is not None else "zero"
-                        for li in sel]
+                pres = [[self._premixed_frame(per_lane[li][fi], fmt)
+                         if per_lane[li][fi] is not None else "zero"
+                         for fi in fr] for li in sel]
                 pre_eligible = ((fmt.nf_out < fmt.nfchans
                                  or fmt.identity_mix)
-                                and all(p is not None for p in pres))
+                                and all(p is not None
+                                        for row in pres for p in row))
                 if pre_eligible:
                     empty_pre = {
                         "freq": np.zeros((6, fmt.nch_out, 256), np.float32),
                         "blksw": np.zeros((6, 5), bool),
                         "bias": np.full((6,), np.float32(self.bias)),
                     }
-                    rows = [empty_pre if p == "zero" else p for p in pres]
-                    rows += [empty_pre] * (bb - len(sel))
-                    blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+                    rows = [catframes([empty_pre if p == "zero" else p
+                                       for p in row]) for row in pres]
+                    if bb > len(sel):
+                        rows += [catframes([empty_pre] * ns)] \
+                            * (bb - len(sel))
                 else:
-                    rows = [self._generic_blocks(per_lane[li][fi])
-                            if per_lane[li][fi] is not None else empty
-                            for li in sel]
-                    rows += [empty] * (bb - len(sel))
-                    blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
-                carry = (jnp.asarray(np.concatenate(
-                             [d_all[sel],
-                              np.zeros((bb - len(sel), 6, 128),
-                                       np.float32)])),
-                         jnp.asarray(np.concatenate(
-                             [m_all[sel],
-                              np.ones(bb - len(sel), bool)])))
+                    rows = [catframes(
+                        [self._generic_blocks(per_lane[li][fi])
+                         if per_lane[li][fi] is not None else empty
+                         for fi in fr]) for li in sel]
+                    if bb > len(sel):
+                        rows += [catframes([empty] * ns)] * (bb - len(sel))
+                blocks = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+                if on_device:
+                    sel_arr = jnp.asarray(np.array(sel, np.int32))
+                    pad = bb - len(sel)
+                    dg, mg = d_all[sel_arr], m_all[sel_arr]
+                    if pad:
+                        dg = jnp.concatenate(
+                            [dg, jnp.zeros((pad, 6, 128), jnp.float32)])
+                        mg = jnp.concatenate(
+                            [mg, jnp.ones((pad,), bool)])
+                    carry = (dg, mg)
+                else:
+                    carry = (jnp.asarray(np.concatenate(
+                                 [d_all[sel],
+                                  np.zeros((bb - len(sel), 6, 128),
+                                           np.float32)])),
+                             jnp.asarray(np.concatenate(
+                                 [m_all[sel],
+                                  np.ones(bb - len(sel), bool)])))
                 if pre_eligible:
                     lo = not np.asarray(blocks["blksw"]).any()
                     fn = batched_pipeline(fmt, self.mesh, self.emit_int16,
@@ -732,13 +777,22 @@ class BatchedDecoder:
                 else:
                     fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
                 carry2, pcm = fn(carry, blocks)
-                d_all[sel] = np.asarray(carry2[0])[:len(sel)]
-                m_all[sel] = np.asarray(carry2[1])[:len(sel)]
-                out[sel, fi * 6:(fi + 1) * 6, :fmt.nch_out] = \
-                    np.asarray(pcm)[:len(sel)]
+                if on_device:
+                    d_all = d_all.at[sel_arr].set(carry2[0][:len(sel)])
+                    m_all = m_all.at[sel_arr].set(carry2[1][:len(sel)])
+                    out = out.at[sel_arr, seg0 * 6:seg1 * 6,
+                                 :fmt.nch_out].set(
+                        pcm[:len(sel)].astype(out.dtype))
+                else:
+                    d_all[sel] = np.asarray(carry2[0])[:len(sel)]
+                    m_all[sel] = np.asarray(carry2[1])[:len(sel)]
+                    out[sel, seg0 * 6:seg1 * 6, :fmt.nch_out] = \
+                        np.asarray(pcm)[:len(sel)]
                 self._fmt = fmt
-            self._carry = (jnp.asarray(d_all), jnp.asarray(m_all))
-        return out, valid
+            seg0 = seg1
+        self._carry = ((d_all, m_all) if on_device
+                       else (jnp.asarray(d_all), jnp.asarray(m_all)))
+        return (np.asarray(out) if on_device else out), valid
 
     def parser_decode(self, lane: StreamLane, frame: bytes):
         return lane.parser.decode_frame(frame, self.flags, self.level, self.bias)
