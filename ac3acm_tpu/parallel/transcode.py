@@ -108,7 +108,8 @@ class Transcoder:
     """
 
     def __init__(self, batch: int, out_bitrate: int, out_channels: int,
-                 sample_rate: int = 48000, mesh=None, pack: str = "device"):
+                 sample_rate: int = 48000, mesh=None, pack: str = "device",
+                 compact_h2d: bool = False):
         from ..models.encoder import make_config
         self.batch = batch
         self.enc_cfg = make_config(sample_rate, out_bitrate, out_channels)
@@ -121,6 +122,12 @@ class Transcoder:
         # device packing happens inside the fused encode+pack dispatch
         # (encode_pipeline_packed); no standalone packer is built here
         self._pack_device = pack == "device"
+        # block-float decode input over the link (~2x fewer H2D bytes on
+        # the transfer-bound transcode topology); perturbs the decoded PCM
+        # by <= 1 int16 LSB before the re-encode, which leaves the
+        # transcode quality unchanged (tests/test_transcode.py gates SNR
+        # parity of the compact path against the f32 path)
+        self.compact_h2d = compact_h2d
         self._bd = None          # lazy decoder pool (owns the dec carry)
 
     def _pack(self, enc) -> list[bytes]:
@@ -154,7 +161,8 @@ class Transcoder:
             from .pipeline import BatchedDecoder
             self._bd = BatchedDecoder(self.batch, flags, level=1.0,
                                       bias=384.0, mesh=self.mesh,
-                                      emit_int16=True, parser="native")
+                                      emit_int16=True, parser="native",
+                                      compact_h2d=self.compact_h2d)
         for i, d in enumerate(data):
             self._bd.feed(i, d)
         r = self._bd.decode_available(max_frames=nframes)

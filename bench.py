@@ -333,7 +333,7 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
     P_pl = 2
     out["h2d_bytes_per_frame_f32"] = 6 * (P_pl * 256 * 4 + 5 + 4)
     out["h2d_bytes_per_frame_compact"] = 6 * (P_pl * 256 * 2
-                                              + P_pl * 8 * 4 + 5 + 4)
+                                              + P_pl * 16 * 4 + 5 + 4)
     return out
 
 
@@ -491,7 +491,10 @@ def bench_config5(batch, nframes):
     from ac3acm_tpu.parallel.transcode import Transcoder
     fb = frames_of(golden_es(), nframes)
     data = [b"".join(fb)] * batch
-    tc = Transcoder(batch, 192000, 2)
+    # compact block-float decode input: ~2x fewer H2D bytes on the
+    # transfer-bound topology; SNR parity with the f32 path is gated in
+    # tests/test_transcode.py::test_transcode_compact_h2d_quality
+    tc = Transcoder(batch, 192000, 2, compact_h2d=True)
 
     def run():
         out = tc.step_frames(data, nframes)

@@ -68,6 +68,40 @@ def test_transcode_51_to_stereo():
     assert snr > 10.0, snr
 
 
+def test_transcode_compact_h2d_quality():
+    """Block-float decode input on the transcode path (compact_h2d): the
+    <=1 int16 LSB PCM perturbation before the re-encode must not change
+    the transcode quality -- gated as SNR parity (vs the direct stereo
+    downmix, decoded with the reference) against the f32-plane path."""
+    from tests.refbuild import get_ref
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)
+    batch = 2
+    outs = {}
+    for compact in (False, True):
+        tc = Transcoder(batch=batch, out_bitrate=192000, out_channels=2,
+                        compact_h2d=compact)
+        out = b"".join(tc.step_frames([b"".join(frames)] * batch,
+                                      len(frames))[0:1])
+        outs[compact] = out
+    assert len(outs[True]) == len(outs[False])
+    ref = get_ref()
+    _, direct = ref.decode_stream(es, T.A52_STEREO)
+
+    def snr(stream):
+        _, trans = ref.decode_stream(stream, T.A52_STEREO)
+        d = direct.reshape(-1, 2, 256).transpose(0, 2, 1).reshape(-1, 2)
+        t = trans.reshape(-1, 2, 256).transpose(0, 2, 1).reshape(-1, 2)
+        a = t[256:]
+        b = d[: a.shape[0]]
+        num = (b.astype(np.float64) ** 2).mean()
+        den = ((a - b).astype(np.float64) ** 2).mean()
+        return 10 * np.log10(num / den)
+
+    s_f32, s_cmp = snr(outs[False]), snr(outs[True])
+    assert s_cmp >= s_f32 - 0.1, (s_cmp, s_f32)
+
+
 def test_transcode_rate_control_failure_raises():
     """A re-encode bitrate too low for the content must raise, not emit
     frames whose rate-control never converged (the fused packed path must
