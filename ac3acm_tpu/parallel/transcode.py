@@ -151,7 +151,21 @@ class Transcoder:
         nch_out output planes cross host->device, ~3x less transfer than
         the full coded planes) and the PCM stays device-resident into the
         encoder scan; frames leave as packed bytes.
+
+        `step_frames` is the synchronous convenience form; a feed loop
+        that wants the host parse / frame fetch of adjacent chunks to
+        overlap the device+link work uses dispatch_frames/finish directly
+        (the transcode step is link-bound on slow host links, and the
+        split hides everything the host does under the transfer drain).
         """
+        return self.finish(self.dispatch_frames(data, nframes))
+
+    def dispatch_frames(self, data: list[bytes], nframes: int):
+        """Parse + enqueue one chunk's full transcode (H2D, decode,
+        re-encode, device pack) WITHOUT waiting for the device: returns an
+        opaque handle for finish().  Host cost is the native parse/premix
+        only; JAX's async dispatch keeps the link and chip busy while the
+        caller parses the next chunk or drains the previous handle."""
         assert len(data) == self.batch
         want = {1: T.A52_MONO, 2: T.A52_STEREO, 3: T.A52_3F,
                 4: T.A52_2F2R, 5: T.A52_3F2R,
@@ -168,9 +182,6 @@ class Transcoder:
         r = self._bd.decode_available(max_frames=nframes)
         assert r is not None, "no complete frames in step_frames input"
         pcm, valid = r
-        # corrupt lane-frames arrive masked (zeroed PCM) from the decoder
-        # pool; record the per-lane mask instead of failing the batch
-        self.ok = np.asarray(valid)
         B = self.batch
         F = pcm.shape[1] // 6
         if F != nframes:
@@ -191,21 +202,33 @@ class Transcoder:
             fn = encode_pipeline_packed(self.enc_cfg)
             (last, csnr), ok_d, fr = fn(samples, self.enc_last,
                                         self.enc_csnr)
+            self.enc_last, self.enc_csnr = last, csnr
+            return ("device", F, valid, ok_d, fr)
+        from ..models.encoder import encode_pipeline_multi
+        fn = encode_pipeline_multi(self.enc_cfg)
+        (last, csnr), enc = fn(samples, self.enc_last, self.enc_csnr)
+        self.enc_last, self.enc_csnr = last, csnr
+        return ("native", F, valid, None, enc)
+
+    def finish(self, handle) -> list[bytes]:
+        """Drain one dispatch_frames handle: fetch the packed frames (or
+        pack on host for pack='native'), validate rate control, record the
+        per-lane `ok` mask, and return the re-encoded bytes per stream."""
+        kind, F, valid, ok_d, payload = handle
+        # corrupt lane-frames arrive masked (zeroed PCM) from the decoder
+        # pool; record the per-lane mask instead of failing the batch
+        self.ok = np.asarray(valid)
+        if kind == "device":
             ok = np.asarray(ok_d)
             if not ok.all():
                 bad = np.argwhere(~ok)
                 raise RuntimeError(
                     f"rate control failed at (frame,stream) "
                     f"{bad[:8].tolist()} -- out_bitrate too low")
-            self.enc_last, self.enc_csnr = last, csnr
-            fr = np.asarray(fr)
+            fr = np.asarray(payload)
             return [b"".join(fr[f, b].tobytes() for f in range(F))
                     for b in range(self.batch)]
-        from ..models.encoder import encode_pipeline_multi
-        fn = encode_pipeline_multi(self.enc_cfg)
-        (last, csnr), enc = fn(samples, self.enc_last, self.enc_csnr)
-        self.enc_last, self.enc_csnr = last, csnr
         # [F, B] flattens C-order -> frame f of stream b at index f*B + b
-        flat = self._pack(enc)
+        flat = self._pack(payload)
         return [b"".join(flat[f * self.batch + b] for f in range(F))
                 for b in range(self.batch)]

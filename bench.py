@@ -496,13 +496,27 @@ def bench_config5(batch, nframes):
     # tests/test_transcode.py::test_transcode_compact_h2d_quality
     tc = Transcoder(batch, 192000, 2, compact_h2d=True)
 
-    def run():
-        out = tc.step_frames(data, nframes)
-        assert len(out) == batch and out[0][:2] == b"\x0b\x77"
-    dt, times = best_of(run, warmup=1, reps=3)
+    # warmup: compile every program in the chain
+    out = tc.step_frames(data, nframes)
+    assert len(out) == batch and out[0][:2] == b"\x0b\x77"
+
+    # steady state: depth-2 dispatch/finish pipeline, so each chunk's host
+    # parse and frame fetch overlap the previous chunk's link+device drain
+    # (the sequential step is link-bound; byte-identity of the pipelined
+    # form is gated by tests/test_transcode.py::test_transcode_pipelined)
+    nsteps = 6
+    h = tc.dispatch_frames(data, nframes)
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        nxt = tc.dispatch_frames(data, nframes)
+        out = tc.finish(h)
+        h = nxt
+    dt = (time.perf_counter() - t0) / nsteps
+    _ = tc.finish(h)
+    assert len(out) == batch and out[0][:2] == b"\x0b\x77"
     xrt = batch * nframes * 1536 / 48000.0 / dt
-    log(f"config5 transcode bytes->bytes: {batch} x {nframes}f, best "
-        f"{dt * 1000:.0f} ms, {xrt:.0f}x realtime")
+    log(f"config5 transcode bytes->bytes: {batch} x {nframes}f, "
+        f"{dt * 1000:.0f} ms/chunk pipelined, {xrt:.0f}x realtime")
     return round(xrt, 1)
 
 

@@ -68,6 +68,30 @@ def test_transcode_51_to_stereo():
     assert snr > 10.0, snr
 
 
+def test_transcode_pipelined():
+    """dispatch_frames/finish with two handles in flight (the bench's
+    depth-2 pipeline) must produce byte-identical streams and carries to
+    sequential step_frames calls -- the overlap is host-side only."""
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)
+    half = len(frames) // 2
+    a, b = b"".join(frames[:half]), b"".join(frames[half:])
+    batch = 2
+
+    seq = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    s1 = seq.step_frames([a] * batch, half)
+    s2 = seq.step_frames([b] * batch, len(frames) - half)
+
+    pip = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    h1 = pip.dispatch_frames([a] * batch, half)
+    h2 = pip.dispatch_frames([b] * batch, len(frames) - half)
+    p1 = pip.finish(h1)
+    p2 = pip.finish(h2)
+    assert s1 == p1
+    assert s2 == p2
+    assert np.array_equal(np.asarray(seq.enc_csnr), np.asarray(pip.enc_csnr))
+
+
 def test_transcode_compact_h2d_quality():
     """Block-float decode input on the transcode path (compact_h2d): the
     <=1 int16 LSB PCM perturbation before the re-encode must not change
