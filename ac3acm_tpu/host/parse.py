@@ -390,8 +390,12 @@ class FrameData:
 class A52Parser:
     """Stateful per-stream parser (one instance ~ one a52_state_t)."""
 
-    def __init__(self):
+    def __init__(self, record_raw: bool = False):
         self.s = DecoderState()
+        # raw-H2D mode: record per-block bit offsets + resolved side-info so
+        # the device can unpack mantissas straight from the frame bytes
+        # (ops.unpack_device).  rec[-1] is the current block's meta dict.
+        self.rec = [] if record_raw else None
 
     # -- a52_frame ---------------------------------------------------------
     def frame(self, buf: bytes, flags: int, level: float, bias: float):
@@ -590,6 +594,20 @@ class A52Parser:
     # -- a52_block ----------------------------------------------------------
     def _block(self, br: BitReader) -> BlockData:
         s = self.s
+        rec = None
+        if self.rec is not None:
+            # raw-H2D meta: bit offsets + resolved side-info per block so
+            # the device can unpack mantissas from the frame bytes itself
+            # (consumed by ops.unpack_device; all offsets frame-relative)
+            rec = {
+                "exp_off": np.full(7, -1, np.int32),      # 0-4 fbw, 5 cpl, 6 lfe
+                "expstr": np.zeros(7, np.int32),
+                "ngrps": np.zeros(7, np.int32),
+                "cplco_off": np.full(5, -1, np.int32),
+                "phs_off": -1,
+                "raw_ok": True,
+            }
+            self.rec.append(rec)
         nfchans = int(T.NFCHANS[s.acmod])
         blksw = np.array([br.read(1) for _ in range(nfchans)], dtype=bool)
         blksw = np.concatenate([blksw, np.zeros(5 - nfchans, bool)])
@@ -635,6 +653,8 @@ class A52Parser:
                 if (s.chincpl >> i) & 1:
                     if br.read(1):              # cplcoe
                         cplcoe = 1
+                        if rec is not None:
+                            rec["cplco_off"][i] = br.pos
                         mstrcplco = 3 * br.read(2)
                         for j in range(s.ncplbnd):
                             cplcoexp = br.read(4)
@@ -645,6 +665,8 @@ class A52Parser:
                                 cplcomant = (cplcomant | 0x10) << 13
                             s.cplco[i][j] = _F(cplcomant) * SF32[cplcoexp + mstrcplco]
             if s.acmod == 2 and s.phsflginu and cplcoe:
+                if rec is not None:
+                    rec["phs_off"] = br.pos
                 for j in range(s.ncplbnd):
                     if br.read(1):
                         s.cplco[1][j] = -s.cplco[1][j]
@@ -681,6 +703,10 @@ class A52Parser:
         if cplexpstr != T.EXP_REUSE:
             do_bit_alloc = 64
             ncplgrps = (s.cplendmant - s.cplstrtmant) // (3 << (cplexpstr - 1))
+            if rec is not None:
+                rec["exp_off"][5] = br.pos
+                rec["expstr"][5] = cplexpstr
+                rec["ngrps"][5] = ncplgrps
             cplabsexp = br.read(4) << 1
             self._parse_exponents(br, cplexpstr, ncplgrps, cplabsexp,
                                   s.cpl_exp, s.cplstrtmant)
@@ -689,12 +715,20 @@ class A52Parser:
                 do_bit_alloc |= 1 << i
                 grp_size = 3 << (chexpstr[i] - 1)
                 nchgrps = (int(s.endmant[i]) + grp_size - 4) // grp_size
+                if rec is not None:
+                    rec["exp_off"][i] = br.pos
+                    rec["expstr"][i] = chexpstr[i]
+                    rec["ngrps"][i] = nchgrps
                 s.fbw_exp[i][0] = br.read(4)
                 self._parse_exponents(br, chexpstr[i], nchgrps,
                                       int(s.fbw_exp[i][0]), s.fbw_exp[i], 1)
                 br.skip(2)                      # gainrng
         if lfeexpstr != T.EXP_REUSE:
             do_bit_alloc |= 32
+            if rec is not None:
+                rec["exp_off"][6] = br.pos
+                rec["expstr"][6] = T.EXP_D15
+                rec["ngrps"][6] = 2
             s.lfe_exp[0] = br.read(4)
             self._parse_exponents(br, lfeexpstr, 2, int(s.lfe_exp[0]),
                                   s.lfe_exp, 1)
@@ -771,6 +805,37 @@ class A52Parser:
 
         coeff, chanbias = downmix_coeff(s.acmod, s.output, s.dynrng,
                                         s.clev, s.slev)
+
+        if rec is not None:
+            # resolved (post-REUSE) side-info the device allocator needs
+            endm = s.endmant.copy()
+            endm[nfchans:] = 0          # unused channels carry stale state
+            rec.update(
+                man_off=br.pos,
+                endmant=endm,
+                chincpl=s.chincpl, phsflginu=s.phsflginu,
+                cplstrt=s.cplstrtmant, cplend=s.cplendmant,
+                cplbndstrc=s.cplbndstrc, ncplbnd=s.ncplbnd,
+                cplstrtbnd=s.cplstrtbnd,
+                bai=s.bai, csnroffst=s.csnroffst,
+                cplbai=s.cplba.bai,
+                babai=np.array([s.ba[i].bai for i in range(5)], np.int32),
+                lfebai=s.lfeba.bai,
+                cplfleak=s.cplfleak, cplsleak=s.cplsleak,
+                dith=np.array(dithflag + [0] * (5 - nfchans), np.int32),
+                blksw=blksw[:5].astype(np.int32),
+                coeff=coeff.copy(), chanbias=chanbias,
+                rematflg=s.rematflg if s.acmod == 2 else 0,
+                lfe_scale=s.dynrng, lfeon=s.lfeon,
+                lfe_out=1 if (s.output & T.A52_LFE) else 0,
+                fscod=s.fscod, halfrate=s.halfrate,
+            )
+            # delta bit allocation engaged anywhere disqualifies the frame
+            # from the raw device path (rare; falls back to the host path)
+            if s.cplba.deltbae != T.DELTA_BIT_NONE or any(
+                    s.ba[i].deltbae != T.DELTA_BIT_NONE
+                    for i in range(nfchans)):
+                rec["raw_ok"] = False
 
         q = np.zeros((6, 256), dtype=np.float32)
         a = np.zeros((6, 256), dtype=np.float32)

@@ -1,0 +1,110 @@
+"""Device-side bitstream unpack vs the host parser (ops.unpack_device).
+
+The host A52Parser is itself differential-fuzzed against liba52
+(test_decode_fuzz), so per-stage equality here pins the device unpack to
+reference semantics: exponents and bit allocation must match the parser
+state bit-for-bit on synthetic streams covering coupling, phase flags,
+EXP_REUSE chains, blksw, zero-SNR and both halfrate ids.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import ac3acm_tpu.tables as T
+import ac3acm_tpu.ops.bitgather as BG
+import ac3acm_tpu.ops.unpack_device as U
+from ac3acm_tpu.host.parse import A52Parser, syncinfo
+from tests.streamgen import gen_stream
+
+BG.INTERPRET = True
+
+
+def _gen(seed, acmod, lfeon, nframes=3, **kw):
+    for s in range(seed, seed + 10):
+        try:
+            return gen_stream(s, acmod, lfeon, nframes=nframes, **kw)
+        except OverflowError:
+            continue
+    raise RuntimeError("no stream fits")
+
+
+def parse_with_snapshots(es, flags):
+    """Run the host parser block by block, snapshotting exp/bap state."""
+    p = A52Parser(record_raw=True)
+    frames, snaps = [], []
+    pos = 0
+    while pos + 7 <= len(es):
+        size, _, _, _ = syncinfo(es[pos:pos + 7])
+        if size == 0 or pos + size > len(es):
+            break
+        fb = es[pos:pos + size]
+        frames.append(fb)
+        br, _ = p.frame(fb, flags, 1.0, 0.0)
+        for _ in range(T.NB_BLOCKS):
+            bd = p._block(br)
+            s = p.s
+            snaps.append(dict(
+                fbw_exp=s.fbw_exp.astype(np.int32).copy(),
+                cpl_exp=s.cpl_exp.astype(np.int32).copy(),
+                lfe_exp=s.lfe_exp.astype(np.int32).copy(),
+                fbw_bap=s.fbw_bap.copy(), cpl_bap=s.cpl_bap.copy(),
+                lfe_bap=s.lfe_bap.copy(),
+                endmant=s.endmant.copy(), chincpl=s.chincpl,
+                cplstrt=s.cplstrtmant, cplend=s.cplendmant,
+                lfeon=s.lfeon, nfchans=int(T.NFCHANS[s.acmod]),
+                block=bd))
+        pos += size
+    return frames, p.rec, snaps
+
+
+def device_inputs(frames, rec):
+    MB = max(len(f) for f in frames)
+    fu8 = np.zeros((1, len(frames), MB), np.uint8)
+    for i, f in enumerate(frames):
+        fu8[0, i, :len(f)] = np.frombuffer(f, np.uint8)
+    meta_np = U.stack_raw_meta(rec)
+    meta = {k: jnp.asarray(v[None]) for k, v in meta_np.items()}
+    return jnp.asarray(fu8), meta, meta_np
+
+
+CASES = [
+    ("stereo_cpl_phase", 11, 2, False, dict(want_cpl=True)),
+    ("3f2r_lfe_cpl", 14, 7, True, dict(want_cpl=True)),
+    ("2f2r_blksw", 16, 6, False, dict(want_blksw=True)),
+    ("zero_snr", 18, 2, False, dict(zero_snr=True)),
+    ("mono", 19, 1, False, dict()),
+    ("3f1r_lfe_cpl", 22, 5, True, dict(want_cpl=True)),
+]
+
+
+@pytest.mark.parametrize("name,seed,acmod,lfeon,kw", CASES,
+                         ids=[c[0] for c in CASES])
+def test_exponents_and_bap(name, seed, acmod, lfeon, kw):
+    es = _gen(seed, acmod, lfeon, **kw)
+    flags = T.A52_STEREO | (T.A52_LFE if lfeon else 0)
+    frames, rec, snaps = parse_with_snapshots(es, flags)
+    assert all(r["raw_ok"] for r in rec)
+    fu8, meta, _ = device_inputs(frames, rec)
+
+    carry = U.init_unpack_carry(1)
+    exp, _ = U.unpack_exponents(fu8, meta, carry["exp"])
+    bap = U.allocate_rows(exp, meta)
+    exp, bap = np.asarray(exp)[0], np.asarray(bap)[0]
+
+    for b, sn in enumerate(snaps):
+        for ch in range(sn["nfchans"]):
+            end = int(sn["endmant"][ch])
+            assert (exp[b, ch, :end] == sn["fbw_exp"][ch, :end]).all(), \
+                (b, ch, "exp")
+            assert (bap[b, ch, :end] == sn["fbw_bap"][ch, :end]).all(), \
+                (b, ch, "bap", np.argwhere(
+                    bap[b, ch, :end] != sn["fbw_bap"][ch, :end])[:4])
+        if sn["chincpl"]:
+            lo, hi = sn["cplstrt"], sn["cplend"]
+            assert (exp[b, 5, lo:hi] == sn["cpl_exp"][lo:hi]).all(), \
+                (b, "cpl exp")
+            assert (bap[b, 5, lo:hi] == sn["cpl_bap"][lo:hi]).all(), \
+                (b, "cpl bap")
+        if sn["lfeon"]:
+            assert (exp[b, 6, :7] == sn["lfe_exp"]).all(), (b, "lfe exp")
+            assert (bap[b, 6, :7] == sn["lfe_bap"]).all(), (b, "lfe bap")
