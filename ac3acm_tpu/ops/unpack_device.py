@@ -57,8 +57,9 @@ _META_KEYS = [
     "exp_off", "expstr", "ngrps", "cplco_off", "phs_off", "man_off",
     "endmant", "chincpl", "phsflginu", "cplstrt", "cplend", "cplbndstrc",
     "ncplbnd", "cplstrtbnd", "bai", "csnroffst", "cplbai", "babai",
-    "lfebai", "cplfleak", "cplsleak", "dith", "rematflg", "lfe_scale",
-    "lfeon", "lfe_out", "fscod", "halfrate",
+    "lfebai", "cplfleak", "cplsleak", "dith", "blksw", "coeff",
+    "chanbias", "rematflg", "lfe_scale", "lfeon", "lfe_out", "fscod",
+    "halfrate",
 ]
 
 
@@ -320,3 +321,395 @@ def allocate_rows(exp, meta):
     zero &= jnp.all(~fbw_live | ((meta["babai"] >> 3) == 0), axis=-1)
     bap = jnp.where(zero[..., None, None], 0, bap)
     return bap
+
+
+# ---------------------------------------------------------------------------
+# stage 3: coupling coordinates + phase flags
+# ---------------------------------------------------------------------------
+
+CPLCO_BLOCK_SLOTS = 256      # 5ch x 37 fields + 18 phase bits, padded
+
+
+def _cplco_slots(meta):
+    """[L, S, 256] offsets/widths for the coupling-coordinate fields.
+
+    Per channel: mstrcplco (2 bits) then ncplbnd x (cplcoexp 4 + cplcomant
+    4); after all channels, ncplbnd phase-flag bits (acmod 2 only)."""
+    off = meta["cplco_off"]                              # [L, S, 5]
+    ncpl = meta["ncplbnd"]                               # [L, S]
+    L, S = ncpl.shape
+    k = jnp.arange(37, dtype=jnp.int32)
+    j = (k - 1) // 2
+    is_exp = (k % 2) == 1
+    foff = jnp.where(k == 0, 0, jnp.where(is_exp, 2 + 8 * j, 6 + 8 * j))
+    fw = jnp.where(k == 0, 2, 4)
+    offs = off[..., None] + foff                         # [L, S, 5, 37]
+    live = (off[..., None] >= 0) & \
+        ((k == 0) | (j < ncpl[..., None, None]))
+    w = jnp.where(live, fw, 0)
+
+    ph = meta["phs_off"]                                 # [L, S]
+    pj = jnp.arange(18, dtype=jnp.int32)
+    ph_offs = ph[..., None] + pj
+    ph_live = (ph[..., None] >= 0) & (pj < ncpl[..., None])
+    ph_w = jnp.where(ph_live, 1, 0)
+
+    offs_all = jnp.concatenate([offs.reshape(L, S, 185), ph_offs], -1)
+    w_all = jnp.concatenate([w.reshape(L, S, 185), ph_w], -1)
+    live_all = jnp.concatenate([live.reshape(L, S, 185), ph_live], -1)
+
+    fwd = jax.lax.cummax(jnp.where(live_all, offs_all, -1), axis=2)
+    first = jnp.min(jnp.where(live_all, offs_all, jnp.int32(1 << 30)),
+                    axis=2)
+    first = jnp.where(first == (1 << 30), meta["man_off"], first)
+    filled = jnp.where(fwd < 0, first[..., None], fwd)
+    pad = CPLCO_BLOCK_SLOTS - 203
+    filled = jnp.concatenate(
+        [filled, jnp.broadcast_to(filled[..., -1:], (L, S, pad))], -1)
+    w_all = jnp.concatenate([w_all, jnp.zeros((L, S, pad), jnp.int32)], -1)
+    return filled, w_all
+
+
+def unpack_cplco(frames_u8, meta, carry_cplco):
+    """Decode + resolve coupling coordinates (incl. stereo phase flags).
+
+    Returns (cplco [L, S, 5, 18] f32 signed values, new_carry [L, 5, 18]).
+    Phase flips compose across blocks: value = fresh[src] * (-1)^(#flips
+    since src), with the chunk carry already carrying all past flips."""
+    L, F, MB = frames_u8.shape
+    S = 6 * F
+    offs, widths = _cplco_slots(meta)
+    codes = extract_fields(
+        frames_u8.reshape(L * F, MB),
+        offs.reshape(L * F, 6 * CPLCO_BLOCK_SLOTS),
+        widths.reshape(L * F, 6 * CPLCO_BLOCK_SLOTS))
+    codes = codes.reshape(L, S, CPLCO_BLOCK_SLOTS)
+
+    c = codes[..., :185].reshape(L, S, 5, 37)
+    mstr = 3 * c[..., 0]                                 # [L, S, 5]
+    cexp = c[..., 1::2]                                  # [L, S, 5, 18]
+    cmant = c[..., 2::2]
+    mant = jnp.where(cexp == 15, cmant << 14, (cmant | 16) << 13)
+    e = cexp + mstr[..., None] + 15
+    fresh = jnp.ldexp(mant.astype(jnp.float32), -e)      # exact 2^-k scale
+
+    set_mask = meta["cplco_off"] >= 0                    # [L, S, 5]
+    resolved, _ = resolve_setters(fresh, set_mask, carry_cplco)
+
+    # phase flags flip ch1's coordinates cumulatively (parse.c:647-650)
+    ph = codes[..., 185:203]                             # [L, S, 18] bits
+    pj = jnp.arange(18, dtype=jnp.int32)
+    ph = jnp.where((meta["phs_off"][..., None] >= 0)
+                   & (pj < meta["ncplbnd"][..., None]), ph, 0)
+    P = jnp.cumsum(ph, axis=1)                           # inclusive
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+    idx1 = jax.lax.cummax(
+        jnp.where(set_mask[..., 1], s_idx, -1), axis=1)  # [L, S]
+    # parity counts flips at blocks src..b INCLUSIVE (the setter block's
+    # own flags apply right after its coords decode, parse.c:647-650);
+    # src = -1 (carry) counts all flips since chunk start.
+    Pext = jnp.concatenate([jnp.zeros((L, 1, 18), P.dtype), P], axis=1)
+    Psrc = jnp.take_along_axis(Pext, jnp.maximum(idx1, 0)[..., None],
+                               axis=1)
+    parity = (P - Psrc) & 1
+    flip1 = jnp.where(parity == 1, -1.0, 1.0)
+    resolved = resolved.at[..., 1, :].multiply(flip1)
+    return resolved, resolved[:, -1]
+
+
+# ---------------------------------------------------------------------------
+# stage 4: mantissa lattice -> dequantized frequency planes
+# ---------------------------------------------------------------------------
+
+SEG = 2688                   # 5 x (fbw 256 + cpl 256) + lfe 128 per block
+
+# quantizer level tables (liba52 tables.h Q(x) values; small, used as
+# where-chains -- no gathers)
+_LVL3 = (-21845.0, 0.0, 21845.0)
+_LVL5 = (-26214.0, -13107.0, 0.0, 13107.0, 26214.0)
+_LVL7 = tuple(float(x) for x in np.asarray(T.Q_3))
+_LVL11 = (-29789.0, -23831.0, -17873.0, -11916.0, -5958.0, 0.0,
+          5958.0, 11916.0, 17873.0, 23831.0, 29789.0)
+_LVL15 = tuple(float(x) for x in np.asarray(T.Q_5))
+
+
+def _chain(idx, levels):
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for k, v in enumerate(levels):
+        if v != 0.0:
+            out = jnp.where(idx == k, jnp.float32(v), out)
+    return out
+
+
+@lru_cache(maxsize=1)
+def _dither_orbit_bytes() -> np.ndarray:
+    """LFSR orbit (period 65535) as big-endian u16 states, doubled for
+    wrap-free windowed gathers.  Draw k starting from state 1 returns
+    orbit[k] (dither_gen semantics, parse.c:310-319)."""
+    lut = np.asarray(T.dither_lut(), np.uint32)
+    vals = np.empty(65535, np.uint16)
+    s = 1
+    for k in range(65535):
+        s = int(lut[s >> 8] ^ ((s << 8) & 0xFFFF))
+        vals[k] = s
+    doubled = np.concatenate([vals, vals]).astype(">u2")
+    return np.frombuffer(doubled.tobytes(), np.uint8)
+
+
+def _first_cpl(chincpl):
+    """Index of the lowest set bit (first coupled channel)."""
+    fc = jnp.zeros(chincpl.shape, jnp.int32)
+    for i in range(4, -1, -1):
+        fc = jnp.where((chincpl >> i) & 1, i, fc)
+    return fc
+
+
+def _interleave_rows(fbw, cpl, lfe):
+    """[..., 5, 256] + [..., 256] + [..., 128] -> [..., SEG] slot layout."""
+    cplb = jnp.broadcast_to(cpl[..., None, :], fbw.shape)
+    inter = jnp.stack([fbw, cplb], axis=-2)              # [..., 5, 2, 256]
+    main = inter.reshape(fbw.shape[:-2] + (2560,))
+    return jnp.concatenate([main, lfe], axis=-1)
+
+
+def _cpl_band_index(meta):
+    """[L, S, 256] coupling band index per bin (cplbndstrc merge rules)."""
+    bins = jnp.arange(256, dtype=jnp.int32)
+    sub = (bins - meta["cplstrt"][..., None]) // 12      # [L, S, 256]
+    sub = jnp.maximum(sub, 0)
+    strc = meta["cplbndstrc"][..., None]
+    merged = jnp.zeros(sub.shape, jnp.int32)
+    for i in range(17):
+        merged += ((strc >> i) & 1) * (i < sub).astype(jnp.int32)
+    return sub - merged
+
+
+def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos):
+    """The coded-order lattice: widths -> offsets -> codes -> (q, a, b).
+
+    Returns (freq [L, S, 6, 256] f32, new_dpos [L]).  freq is
+    bit-identical to the host pre-pass's (q*a)*b (parse.c:321-556)."""
+    L, F, MB = frames_u8.shape
+    S = 6 * F
+    bins = jnp.arange(256, dtype=jnp.int32)
+    bap = bap.astype(jnp.int32)
+
+    endm = meta["endmant"]                               # [L, S, 5]
+    fc = _first_cpl(meta["chincpl"])
+    has_cpl = meta["chincpl"] != 0
+    cpl_base = has_cpl[..., None] & (bins >= meta["cplstrt"][..., None]) \
+        & (bins < meta["cplend"][..., None])             # [L, S, 256]
+    fbw_act = bins < endm[..., None]                     # [L, S, 5, 256]
+    ch5 = jnp.arange(5, dtype=jnp.int32)
+    cpl_act = cpl_base[..., None, :] & (ch5[:, None] == fc[..., None, None])
+    lfe_act = (meta["lfeon"][..., None] != 0) & \
+        (jnp.arange(128) < 7)                            # [L, S, 128]
+
+    # cpl activity differs per channel slot (only the first coupled
+    # channel's walk consumes coupling mantissas), so interleave manually
+    inter_act = jnp.stack([fbw_act, cpl_act], axis=-2).reshape(L, S, 2560)
+    act = jnp.concatenate(
+        [inter_act, lfe_act], axis=-1)                   # [L, S, SEG]
+
+    bap_s = _interleave_rows(bap[..., :5, :], bap[..., 5, :],
+                             bap[..., 6, :128])
+    exp_s = _interleave_rows(exp[..., :5, :], exp[..., 5, :],
+                             exp[..., 6, :128])
+    b = jnp.where(act, bap_s, 0)
+
+    def excl(x):
+        return jnp.cumsum(x, axis=-1) - x
+
+    is1 = b == 1
+    is2 = b == 2
+    is4 = b == 4
+    cnt1 = excl(is1.astype(jnp.int32))
+    cnt2 = excl(is2.astype(jnp.int32))
+    cnt4 = excl(is4.astype(jnp.int32))
+    reads1 = is1 & (cnt1 % 3 == 0)
+    reads2 = is2 & (cnt2 % 3 == 0)
+    reads4 = is4 & (cnt4 % 2 == 0)
+    w6 = jnp.where(b == 15, 16, jnp.where(b == 14, 14, b - 1))
+    w = (jnp.where(reads1, 5, 0) + jnp.where(reads2, 7, 0)
+         + jnp.where(b == 3, 3, 0) + jnp.where(reads4, 7, 0)
+         + jnp.where(b == 5, 4, 0) + jnp.where(b >= 6, w6, 0))
+    offsets = meta["man_off"][..., None] + excl(w)
+
+    codes = extract_fields(
+        frames_u8.reshape(L * F, MB),
+        offsets.reshape(L * F, 6 * SEG),
+        w.reshape(L * F, 6 * SEG)).reshape(L, S, SEG)
+
+    # grouped-class leader propagation (quantizer_set_t carries,
+    # parse.c:43-50): forward-fill the leader's code along the lattice
+    slot_no = jnp.arange(SEG, dtype=jnp.int32)
+
+    def leader(reads):
+        pk = jnp.where(reads, (slot_no << 7) | codes, -1)
+        return jax.lax.cummax(pk, axis=pk.ndim - 1) & 127
+
+    c1, c2, c4 = leader(reads1), leader(reads2), leader(reads4)
+    m1 = cnt1 % 3
+    d1 = jnp.where(m1 == 0, c1 // 9,
+                   jnp.where(m1 == 1, (c1 % 9) // 3, c1 % 3))
+    m2 = cnt2 % 3
+    d2 = jnp.where(m2 == 0, c2 // 25,
+                   jnp.where(m2 == 1, (c2 % 25) // 5, c2 % 5))
+    m4 = cnt4 % 2
+    d4 = jnp.where(m4 == 0, c4 // 11, c4 % 11)
+
+    sv = codes - ((codes >> (jnp.maximum(w6, 1) - 1)) << jnp.maximum(w6, 1))
+    v6 = (sv << (16 - jnp.maximum(w6, 1))).astype(jnp.float32)
+    qv = jnp.where(is1 & (c1 < 27), _chain(d1, _LVL3),
+         jnp.where(is2 & (c2 < 125), _chain(d2, _LVL5),
+         jnp.where(b == 3, _chain(codes, _LVL7),
+         jnp.where(is4 & (c4 < 121), _chain(d4, _LVL11),
+         jnp.where(b == 5, _chain(codes, _LVL15),
+                   jnp.where(b >= 6, v6, 0.0))))))
+    # out-of-range grouped codes (q1>=27, q2>=125, q4>=121) decode to 0
+    # for every member -- the reference tables' literal 0 tails
+    # (tables.h:86-115); the arithmetic //,% decomposition above would
+    # index past the level ladder, so those slots fall through to 0.
+
+    # --- dither ordinals (LFSR draw positions, parse.c:310-319) -----------
+    dith = meta["dith"]                                  # [L, S, 5]
+    dith_fbw = (dith != 0)[..., None] & fbw_act & \
+        (bap[..., :5, :] == 0)                           # [L, S, 5, 256]
+    cpl_dmask = jnp.sum(
+        jnp.where((dith != 0)
+                  & (((meta["chincpl"][..., None] >> ch5) & 1) != 0),
+                  jnp.int32(1) << ch5, 0), axis=-1)      # [L, S]
+    ndith = jnp.zeros(cpl_dmask.shape, jnp.int32)
+    for i in range(5):
+        ndith += (cpl_dmask >> i) & 1
+    draws_fbw = dith_fbw.astype(jnp.int32)
+    draws_cpl = jnp.where(cpl_act & (bap[..., 5:6, :] == 0),
+                          ndith[..., None, None], 0)
+    draws = jnp.stack([draws_fbw, draws_cpl], axis=-2).reshape(L, S, 2560)
+    draws = jnp.concatenate(
+        [draws, jnp.zeros((L, S, 128), jnp.int32)], axis=-1)
+    ordx = excl(draws)
+    tot = jnp.sum(draws, axis=-1)                        # [L, S]
+    base = carry_dpos[:, None] + jnp.cumsum(tot, axis=1) - tot
+    abs_ord = base[..., None] + ordx                     # [L, S, SEG]
+    new_dpos = base[:, -1] + tot[:, -1]
+
+    # dither gather lattice: fbw bins (rank 0) then cpl bin-major x rank
+    view = abs_ord[..., :2560].reshape(L, S, 5, 2, 256)
+    ord_fbw = view[..., 0, :]                            # [L, S, 5, 256]
+    ord_cpl = jnp.sum(
+        jnp.where(ch5[:, None] == fc[..., None, None],
+                  view[..., 1, :], 0), axis=-2)          # [L, S, 256]
+    rank5 = jnp.arange(5, dtype=jnp.int32)
+    # clamp unused ranks (>= ndith) to the last live draw so the slot
+    # sequence stays monotone within every 128-slot gather tile --
+    # extract_fields_shared windows each tile off its first entry
+    rmax = jnp.maximum(ndith - 1, 0)[..., None, None]    # [L, S, 1, 1]
+    d_off = jnp.concatenate(
+        [ord_fbw.reshape(L, S, 1280),
+         (ord_cpl[..., None] + jnp.minimum(rank5, rmax)).reshape(
+             L, S, 1280)], axis=-1)
+    d_off = d_off.reshape(L * F, 6 * 2560)
+    # per-tile wrap rebase into the doubled orbit table
+    Td = d_off.shape[1] // 128
+    d_t = d_off.reshape(-1, Td, 128)
+    first = d_t[..., :1]
+    d_t = ((first % 65535) + (d_t - first)) * 16
+    states = extract_fields_shared(
+        jnp.asarray(_dither_orbit_bytes()),
+        d_t.reshape(L * F, 6 * 2560)).reshape(L, S, 2560)
+    st = states - ((states >> 15) << 16)                 # int16 view
+    dval = ((3 * st) >> 2).astype(jnp.float32)
+    dv_fbw = dval[..., :1280].reshape(L, S, 5, 256)
+    dv_cpl = dval[..., 1280:].reshape(L, S, 256, 5)      # [.., bin, rank]
+
+    # --- assembly: (q, a, b) per channel/bin -------------------------------
+    qmain = qv[..., :2560].reshape(L, S, 5, 2, 256)
+    q_fbw = qmain[..., 0, :]                             # [L, S, 5, 256]
+    q_cpl = jnp.sum(jnp.where(ch5[:, None] == fc[..., None, None],
+                              qmain[..., 1, :], 0), axis=-2)  # [L, S, 256]
+    e_fbw = exp[..., :5, :]
+    e_cpl = exp[..., 5, :]
+
+    coeff = meta["coeff"]                                # [L, S, 5] f32
+    b_fbw = bap[..., :5, :]
+    a_fbw = jnp.ldexp(coeff[..., None], -(e_fbw + 15))
+    val_fbw = jnp.where(b_fbw == 0, jnp.where(dith_fbw, dv_fbw, 0.0),
+                        q_fbw)
+    freq_fbw = jnp.where(fbw_act & ((b_fbw != 0) | dith_fbw),
+                         val_fbw * a_fbw, 0.0)
+
+    # coupling: shared mantissa scattered into each coupled channel
+    bnd = _cpl_band_index(meta)                          # [L, S, 256]
+    cprod = cplco * coeff[..., None]                     # MUL_L per ch
+    cpl_bin = jnp.zeros((L, S, 5, 256), jnp.float32)
+    for bb in range(18):
+        cpl_bin = jnp.where((bnd == bb)[..., None, :],
+                            cprod[..., bb:bb + 1], cpl_bin)
+    coupled = (((meta["chincpl"][..., None] >> ch5) & 1) != 0)  # [L,S,5]
+    b_cpl = bap[..., 5, :]                               # [L, S, 256]
+    dith_c = coupled & (dith != 0)                       # [L, S, 5]
+    rank = jnp.zeros((L, S, 5), jnp.int32)
+    for i in range(5):
+        rank += jnp.where(ch5 > i, (cpl_dmask[..., None] >> i) & 1, 0)
+    dv_ch = jnp.zeros((L, S, 5, 256), jnp.float32)
+    for r in range(5):
+        dv_ch = jnp.where((rank == r)[..., None],
+                          dv_cpl[..., r][..., None, :], dv_ch)
+    sf_cpl = jnp.ldexp(jnp.ones((), jnp.float32), -(e_cpl + 15))
+    nd = (q_cpl * sf_cpl)[..., None, :] * cpl_bin        # (v*sf)*cplco
+    dd = dv_ch * jnp.ldexp(cpl_bin, -(e_cpl[..., None, :] + 15))
+    contrib = jnp.where((b_cpl != 0)[..., None, :], nd,
+                        jnp.where(dith_c[..., None], dd, 0.0))
+    in_cpl = cpl_base[..., None, :] & coupled[..., None]
+    freq_fbw = jnp.where(in_cpl, contrib, freq_fbw)
+
+    # LFE
+    q_lfe = qv[..., 2560:]                               # [L, S, 128]
+    e_lfe = exp[..., 6, :128]
+    a_lfe = jnp.ldexp(meta["lfe_scale"][..., None], -(e_lfe + 15))
+    b_lfe = bap[..., 6, :128]
+    lfe_vals = jnp.where(lfe_act & (b_lfe != 0)
+                         & (meta["lfe_out"][..., None] != 0),
+                         q_lfe * a_lfe, 0.0)
+    freq_lfe = jnp.concatenate(
+        [lfe_vals, jnp.zeros((L, S, 128), jnp.float32)], axis=-1)
+
+    freq = jnp.concatenate([freq_fbw, freq_lfe[..., None, :]], axis=-2)
+    return freq, new_dpos
+
+
+def remat_mask(meta):
+    """[L, S, 256] stereo rematrix band mask (parse.c:837-865)."""
+    k = jnp.arange(256, dtype=jnp.int32)
+    region = jnp.where(k < 25, 0,
+                       jnp.where(k < 37, 1, jnp.where(k < 61, 2, 3)))
+    flg = meta["rematflg"][..., None]
+    flag_k = ((flg >> region) & 1) != 0
+    end = jnp.minimum(meta["endmant"][..., 0], meta["endmant"][..., 1])
+    return flag_k & (k >= 13) & (k < end[..., None])
+
+
+def unpack_blocks(frames_u8, meta, carry, bias):
+    """Full raw-H2D device unpack: frame bytes + meta -> pipeline blocks.
+
+    frames_u8 [L, F, MB] uint8; meta: stacked raw records [L, S, ...];
+    carry: init_unpack_carry dict; bias: scalar or [L, S] f32.
+    Returns (new_carry, blocks) with blocks matching the batched decode
+    pipeline contract: freq [L, S, 6, 256], blksw, coeff, remat, bias."""
+    L, F, MB = frames_u8.shape
+    S = 6 * F
+    exp, carry_exp = unpack_exponents(frames_u8, meta, carry["exp"])
+    bap = allocate_rows(exp, meta)
+    cplco, carry_cplco = unpack_cplco(frames_u8, meta, carry["cplco"])
+    freq, new_dpos = unpack_mantissas(frames_u8, exp, bap, cplco, meta,
+                                      carry["dpos"])
+    blocks = {
+        "freq": freq,
+        "blksw": meta["blksw"] != 0,
+        "coeff": meta["coeff"],
+        "remat": remat_mask(meta),
+        "bias": jnp.broadcast_to(jnp.asarray(bias, jnp.float32), (L, S)),
+    }
+    new_carry = {"exp": carry_exp, "cplco": carry_cplco, "dpos": new_dpos}
+    return new_carry, blocks

@@ -108,3 +108,47 @@ def test_exponents_and_bap(name, seed, acmod, lfeon, kw):
         if sn["lfeon"]:
             assert (exp[b, 6, :7] == sn["lfe_exp"]).all(), (b, "lfe exp")
             assert (bap[b, 6, :7] == sn["lfe_bap"]).all(), (b, "lfe bap")
+
+
+FREQ_CASES = CASES + [
+    ("stereo_plain", 31, 2, False, dict()),
+    ("3f2r_cpl_blksw", 33, 7, False, dict(want_cpl=True, want_blksw=True)),
+    ("2f1r", 35, 4, False, dict()),
+]
+
+
+@pytest.mark.parametrize("name,seed,acmod,lfeon,kw", FREQ_CASES,
+                         ids=[c[0] for c in FREQ_CASES])
+def test_freq_bit_exact(name, seed, acmod, lfeon, kw):
+    """Full device unpack: dequantized planes must equal the host
+    pre-pass's (q*a)*b bit for bit -- mantissas, grouped carries,
+    coupling scatter, phase signs, dither LFSR and all."""
+    es = _gen(seed, acmod, lfeon, **kw)
+    flags = T.A52_STEREO | (T.A52_LFE if lfeon else 0)
+    frames, rec, snaps = parse_with_snapshots(es, flags)
+    assert all(r["raw_ok"] for r in rec)
+    fu8, meta, _ = device_inputs(frames, rec)
+
+    carry = U.init_unpack_carry(1)
+    _, blocks = U.unpack_blocks(fu8, meta, carry, bias=0.0)
+    freq = np.asarray(blocks["freq"])[0]                 # [S, 6, 256]
+
+    for b, sn in enumerate(snaps):
+        bd = sn["block"]
+        want = (bd.q * bd.a) * bd.b                      # host dequant
+        got = freq[b]
+        if not np.array_equal(got, want):
+            bad = np.argwhere(got != want)
+            ch, k = bad[0]
+            raise AssertionError(
+                f"block {b} mismatch at ch{ch} bin{k}: "
+                f"{got[ch, k]} != {want[ch, k]} "
+                f"(bap={sn['fbw_bap'][ch, k] if ch < 5 else '?'}, "
+                f"n={len(bad)})")
+        # side-channels
+        assert np.array_equal(np.asarray(blocks["remat"])[0, b],
+                              bd.remat_mask), b
+        assert np.array_equal(np.asarray(blocks["blksw"])[0, b],
+                              bd.blksw[:5]), b
+        assert np.array_equal(np.asarray(blocks["coeff"])[0, b],
+                              bd.coeff), b
