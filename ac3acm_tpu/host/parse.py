@@ -352,6 +352,13 @@ class DecoderState:
     cplfleak: int = 0               # raw 3-bit code
     cplsleak: int = 0
 
+    # deltba in effect at each row's LAST bit allocation (rows 0-4 fbw,
+    # 5 cpl): the reference caches bap across blocks, so a frame-boundary
+    # deltbae reset does NOT change bap until something re-dirties the
+    # allocation -- raw-H2D meta must ship the cached-alloc inputs
+    eff_deltba: np.ndarray = field(
+        default_factory=lambda: np.zeros((7, 50), np.int8))
+
     cpl_exp: np.ndarray = field(default_factory=lambda: np.zeros(256, np.uint8))
     cpl_bap: np.ndarray = field(default_factory=lambda: np.zeros(256, np.int8))
     fbw_exp: np.ndarray = field(default_factory=lambda: np.zeros((5, 256), np.uint8))
@@ -390,12 +397,19 @@ class FrameData:
 class A52Parser:
     """Stateful per-stream parser (one instance ~ one a52_state_t)."""
 
-    def __init__(self, record_raw: bool = False):
+    def __init__(self, record_raw: bool = False,
+                 sideinfo_only: bool = False):
         self.s = DecoderState()
         # raw-H2D mode: record per-block bit offsets + resolved side-info so
         # the device can unpack mantissas straight from the frame bytes
         # (ops.unpack_device).  rec[-1] is the current block's meta dict.
-        self.rec = [] if record_raw else None
+        self.rec = [] if (record_raw or sideinfo_only) else None
+        # sideinfo_only skips the per-coefficient mantissa walk entirely:
+        # the bit cursor jumps over the mantissa field by a vectorized
+        # width sum (same coded-order lattice as the device unpack) and
+        # BlockData carries zero planes -- the device reconstructs them
+        # from the raw bytes.  ~10x less host work per block.
+        self.sideinfo_only = sideinfo_only
 
     # -- a52_frame ---------------------------------------------------------
     def frame(self, buf: bytes, flags: int, level: float, bias: float):
@@ -770,6 +784,9 @@ class A52Parser:
             else:
                 params = decode_side_params(s.bai, s.halfrate)
                 if s.chincpl and (do_bit_alloc & 64):
+                    s.eff_deltba[5] = (
+                        s.cplba.deltba
+                        if s.cplba.deltbae != T.DELTA_BIT_NONE else 0)
                     s.cpl_bap[:] = bit_allocate(
                         s.cpl_exp, s.cplstrtmant, s.cplendmant,
                         decode_snroffset(s.csnroffst, s.cplba.bai >> 3),
@@ -781,6 +798,9 @@ class A52Parser:
                         **params)
                 for i in range(nfchans):
                     if do_bit_alloc & (1 << i):
+                        s.eff_deltba[i] = (
+                            s.ba[i].deltba
+                            if s.ba[i].deltbae != T.DELTA_BIT_NONE else 0)
                         s.fbw_bap[i][:] = bit_allocate(
                             s.fbw_exp[i], 0, int(s.endmant[i]),
                             decode_snroffset(s.csnroffst, s.ba[i].bai >> 3),
@@ -811,6 +831,9 @@ class A52Parser:
             endm = s.endmant.copy()
             endm[nfchans:] = 0          # unused channels carry stale state
             rec.update(
+                deltba=s.eff_deltba.copy(),
+                acmod=s.acmod, output=s.output,      # host-only: fmt keys
+                slev_zero=int(s.slev == 0.0),
                 man_off=br.pos,
                 endmant=endm,
                 chincpl=s.chincpl, phsflginu=s.phsflginu,
@@ -830,16 +853,21 @@ class A52Parser:
                 lfe_out=1 if (s.output & T.A52_LFE) else 0,
                 fscod=s.fscod, halfrate=s.halfrate,
             )
-            # delta bit allocation engaged anywhere disqualifies the frame
-            # from the raw device path (rare; falls back to the host path)
-            if s.cplba.deltbae != T.DELTA_BIT_NONE or any(
-                    s.ba[i].deltbae != T.DELTA_BIT_NONE
-                    for i in range(nfchans)):
-                rec["raw_ok"] = False
 
         q = np.zeros((6, 256), dtype=np.float32)
         a = np.zeros((6, 256), dtype=np.float32)
         b = np.zeros((6, 256), dtype=np.float32)
+        if self.sideinfo_only:
+            # jump the cursor over the whole mantissa field: widths are a
+            # pure function of (bap, endmant, coupling config) -- the same
+            # coded-order lattice the device unpack rebuilds on chip
+            br.skip(self._mantissa_bits())
+            lfe_scale = s.dynrng if (s.lfeon and (s.output & T.A52_LFE)) \
+                else _F(0)
+            remat_mask = self._remat_mask()
+            return BlockData(q=q, a=a, b=b, blksw=blksw, coeff=coeff,
+                             chanbias=chanbias, remat_mask=remat_mask,
+                             lfe_scale=lfe_scale)
         quant = {"q1_ptr": -1, "q2_ptr": -1, "q4_ptr": -1,
                  "q1": np.zeros(2, np.float32), "q2": np.zeros(2, np.float32),
                  "q4": _F(0)}
@@ -852,20 +880,7 @@ class A52Parser:
                 self._coeff_get_coupling(br, q, a, b, nfchans, coeff,
                                          dithflag, quant)
 
-        # rematrix band mask (stereo): flip bands per rematflg
-        remat_mask = np.zeros(256, dtype=bool)
-        if s.acmod == 2:
-            end = int(min(s.endmant[0], s.endmant[1]))
-            j = 13
-            rematflg = s.rematflg
-            for bnd_i in range(4):
-                band = _REMATRIX_BAND[bnd_i]
-                if rematflg & (1 << bnd_i):
-                    hi = min(band, end)
-                    remat_mask[j:hi] = True
-                j = band
-                if j >= end:
-                    break
+        remat_mask = self._remat_mask()
 
         lfe_scale = _F(0)
         if s.lfeon:
@@ -889,6 +904,57 @@ class A52Parser:
                          lfe_scale=lfe_scale)
 
     # -- helpers -------------------------------------------------------------
+    def _remat_mask(self) -> np.ndarray:
+        """Stereo rematrix band mask per rematflg (parse.c:837-865)."""
+        s = self.s
+        remat_mask = np.zeros(256, dtype=bool)
+        if s.acmod == 2:
+            end = int(min(s.endmant[0], s.endmant[1]))
+            j = 13
+            rematflg = s.rematflg
+            for bnd_i in range(4):
+                band = _REMATRIX_BAND[bnd_i]
+                if rematflg & (1 << bnd_i):
+                    hi = min(band, end)
+                    remat_mask[j:hi] = True
+                j = band
+                if j >= end:
+                    break
+        return remat_mask
+
+    def _mantissa_bits(self) -> int:
+        """Total bit width of the block's mantissa field, vectorized.
+
+        Rebuilds the coded-order lattice (fbw channels with the coupling
+        walk spliced after the first coupled channel, LFE last) and sums
+        per-slot widths: grouped quantizers (bap 1/2/4) read a code only
+        at group positions 0 mod 3/3/2 across the whole block
+        (quantizer_set_t, parse.c:43-50); bap 0 reads nothing.  Mirrors
+        ops.unpack_device.unpack_mantissas' width model."""
+        s = self.s
+        nfchans = int(T.NFCHANS[s.acmod])
+        bins = np.arange(256)
+        parts = []
+        done_cpl = False
+        for ch in range(nfchans):
+            parts.append(np.where(bins < int(s.endmant[ch]),
+                                  s.fbw_bap[ch], 0))
+            if (s.chincpl >> ch) & 1 and not done_cpl:
+                done_cpl = True
+                actc = (bins >= s.cplstrtmant) & (bins < s.cplendmant)
+                parts.append(np.where(actc, s.cpl_bap, 0))
+        if s.lfeon:
+            lfe = np.zeros(256, np.int32)
+            lfe[:7] = s.lfe_bap
+            parts.append(lfe)
+        b = np.concatenate(parts).astype(np.int32)
+        n1 = int((b == 1).sum())
+        n2 = int((b == 2).sum())
+        n4 = int((b == 4).sum())
+        w = int(T.BAP_BITS[b].sum())     # plain classes; 0 for 0/1/2/4
+        return (w + 5 * ((n1 + 2) // 3) + 7 * ((n2 + 2) // 3)
+                + 7 * ((n4 + 1) // 2))
+
     @staticmethod
     def _parse_exponents(br, expstr, ngrps, exponent, dest, start):
         """parse.c:218-270; writes decoded exponents into dest[start:]."""

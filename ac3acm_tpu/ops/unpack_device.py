@@ -59,7 +59,7 @@ _META_KEYS = [
     "ncplbnd", "cplstrtbnd", "bai", "csnroffst", "cplbai", "babai",
     "lfebai", "cplfleak", "cplsleak", "dith", "blksw", "coeff",
     "chanbias", "rematflg", "lfe_scale", "lfeon", "lfe_out", "fscod",
-    "halfrate",
+    "halfrate", "deltba",
 ]
 
 
@@ -307,7 +307,8 @@ def allocate_rows(exp, meta):
                          cplsleak=meta["cplsleak"])
     excite = exc_f.at[..., 5, :].set(exc_c)
 
-    mask = A.masking_curve(bndpsd, excite, bcast(dbknee)[..., None], hth)
+    mask = A.masking_curve(bndpsd, excite, bcast(dbknee)[..., None], hth,
+                           deltba=meta["deltba"])
     bap = A.bap_from_mask(psd, mask, snro[..., None],
                           bcast(floor)[..., None], start, end)
 

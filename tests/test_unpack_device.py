@@ -74,6 +74,7 @@ CASES = [
     ("zero_snr", 18, 2, False, dict(zero_snr=True)),
     ("mono", 19, 1, False, dict()),
     ("3f1r_lfe_cpl", 22, 5, True, dict(want_cpl=True)),
+    ("3f_deltba", 17, 3, False, dict(want_deltba=True)),
 ]
 
 
