@@ -96,7 +96,8 @@ def _build(N: int, T: int, rows: int, shared: bool, win_rows: int,
         partial(_kernel, win_rows, flat),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, T, TS), jnp.int32),
-        interpret=INTERPRET,
+        # Mosaic on TPU; interpreter everywhere else (CPU test backend)
+        interpret=INTERPRET or jax.default_backend() != "tpu",
     )
 
 
@@ -110,7 +111,10 @@ def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
             [offsets, jnp.broadcast_to(offsets[:, -1:], (N, pad))], axis=1)
         widths = jnp.concatenate(
             [widths, jnp.zeros((N, pad), jnp.int32)], axis=1)
-    starts = (offsets[:, ::TS] >> 10).reshape(N, 1, T)   # window row per tile
+    # window row per tile, from the tile MIN: offsets need not be fully
+    # monotone within a tile (dither rank lattices sawtooth by a few
+    # slots), only bounded -- the span must still fit the window
+    starts = (offsets.reshape(N, T, TS).min(axis=2) >> 10).reshape(N, 1, T)
     offsets = offsets.reshape(N, T, TS)
     widths = widths.reshape(N, T, TS)
     rows = data_rows.shape[1]

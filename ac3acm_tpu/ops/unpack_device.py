@@ -63,6 +63,27 @@ _META_KEYS = [
 ]
 
 
+def null_raw_rec() -> dict:
+    """A benign per-block record for invalid lane-frames: no exponent or
+    coupling fields, csnroffst 0 with all bai clear -> the zero-SNR
+    shortcut zeroes every bap, so the device emits silence for the block
+    (the lane's valid mask flags it downstream)."""
+    return {
+        "exp_off": np.full(7, -1, np.int32), "expstr": np.zeros(7, np.int32),
+        "ngrps": np.zeros(7, np.int32),
+        "cplco_off": np.full(5, -1, np.int32), "phs_off": -1, "man_off": 0,
+        "endmant": np.zeros(5, np.int32), "chincpl": 0, "phsflginu": 0,
+        "cplstrt": 37, "cplend": 37, "cplbndstrc": 0, "ncplbnd": 0,
+        "cplstrtbnd": 0, "bai": 0, "csnroffst": 0, "cplbai": 0,
+        "babai": np.zeros(5, np.int32), "lfebai": 0, "cplfleak": 0,
+        "cplsleak": 0, "dith": np.zeros(5, np.int32),
+        "blksw": np.zeros(5, np.int32), "coeff": np.zeros(5, np.float32),
+        "chanbias": 0, "rematflg": 0, "lfe_scale": np.float32(0.0),
+        "lfeon": 0, "lfe_out": 0, "fscod": 0, "halfrate": 0,
+        "deltba": np.zeros((7, 50), np.int8), "raw_ok": False,
+    }
+
+
 def stack_raw_meta(recs: list) -> dict:
     """Stack A52Parser raw records (one per block) into [S, ...] arrays."""
     out = {}
@@ -602,20 +623,21 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos):
         jnp.where(ch5[:, None] == fc[..., None, None],
                   view[..., 1, :], 0), axis=-2)          # [L, S, 256]
     rank5 = jnp.arange(5, dtype=jnp.int32)
-    # clamp unused ranks (>= ndith) to the last live draw so the slot
-    # sequence stays monotone within every 128-slot gather tile --
-    # extract_fields_shared windows each tile off its first entry
+    # clamp unused ranks (>= ndith) to the last live draw: keeps the
+    # tile span tight for the windowed gather (tiles window off their
+    # min offset; the span must stay within the window)
     rmax = jnp.maximum(ndith - 1, 0)[..., None, None]    # [L, S, 1, 1]
     d_off = jnp.concatenate(
         [ord_fbw.reshape(L, S, 1280),
          (ord_cpl[..., None] + jnp.minimum(rank5, rmax)).reshape(
              L, S, 1280)], axis=-1)
     d_off = d_off.reshape(L * F, 6 * 2560)
-    # per-tile wrap rebase into the doubled orbit table
+    # per-tile wrap rebase into the doubled orbit table (tile MIN keeps
+    # every rebased entry nonnegative under the rank-lattice sawtooth)
     Td = d_off.shape[1] // 128
     d_t = d_off.reshape(-1, Td, 128)
-    first = d_t[..., :1]
-    d_t = ((first % 65535) + (d_t - first)) * 16
+    tmin = d_t.min(axis=-1, keepdims=True)
+    d_t = ((tmin % 65535) + (d_t - tmin)) * 16
     states = extract_fields_shared(
         jnp.asarray(_dither_orbit_bytes()),
         d_t.reshape(L * F, 6 * 2560)).reshape(L, S, 2560)

@@ -187,6 +187,40 @@ def batched_pipeline(fmt: StreamFormat, mesh=None, emit_int16: bool = False,
     return jax.jit(run, in_shardings=(shard, shard), out_shardings=(shard, shard))
 
 
+@lru_cache(maxsize=32)
+def raw_batched_pipeline(fmt: StreamFormat, mesh=None,
+                         emit_int16: bool = False, steady: bool = False,
+                         long_only: bool = False):
+    """Raw-H2D decode: jitted (carry, frames_u8, meta, bias) -> (carry, pcm).
+
+    The host ships raw AC-3 frame bytes [B, F, MB] plus per-block side-
+    info meta [B, 6F, ...]; the device unpacks exponents, re-runs bit
+    allocation, dequantizes mantissas (ops.unpack_device) and decodes --
+    everything after the side-info parse runs on chip, and H2D volume is
+    the coded ES itself (~1.8 KB/frame at 448 kbps vs 12.3 KB of f32
+    premixed planes).  carry = (unpack carry dict, (delay, downmixed))."""
+    from ..ops.unpack_device import unpack_blocks
+    if steady:
+        body = partial(_pipeline_steady, long_only=long_only,
+                       premixed=False)
+    else:
+        body = _pipeline_body
+
+    def run(carry, frames_u8, meta, bias):
+        ucarry, dcarry = carry
+        ucarry, blocks = unpack_blocks(frames_u8, meta, ucarry, bias)
+        dcarry, pcm = jax.vmap(partial(body, fmt))(dcarry, blocks)
+        if emit_int16:
+            pcm = convert_to_int16(pcm)
+        return (ucarry, dcarry), pcm
+
+    if mesh is None:
+        return jax.jit(run)
+    shard = NamedSharding(mesh, P("data"))
+    return jax.jit(run, in_shardings=(shard, shard, shard, shard),
+                   out_shardings=(shard, shard))
+
+
 def init_batched_carry(batch: int, mesh=None):
     delay = jnp.zeros((batch, 6, 128), jnp.float32)
     downmixed = jnp.ones((batch,), bool)
@@ -282,7 +316,9 @@ class BatchedDecoder:
                  parser: str = "python", nthreads=None,
                  compact_h2d: bool = False):
         from ..host.parse import A52Parser
-        self.lanes = [StreamLane(parser=A52Parser()) for _ in range(batch)]
+        sideinfo = parser == "raw"
+        self.lanes = [StreamLane(parser=A52Parser(sideinfo_only=sideinfo))
+                      for _ in range(batch)]
         self.flags = flags
         self.level = level
         self.bias = bias
@@ -299,6 +335,7 @@ class BatchedDecoder:
         self._parser_kind = parser
         self._dense = None
         self._pre_planes = None
+        self._raw_carry = None           # unpack carry (raw-H2D mode)
         if parser == "native":
             from ..host.native import DenseBatchParser
             self._dense = DenseBatchParser(batch, nthreads)
@@ -334,6 +371,8 @@ class BatchedDecoder:
         """
         if self._dense is not None:
             return self._decode_available_native(max_frames)
+        if self._parser_kind == "raw":
+            return self._decode_available_raw(max_frames)
         from ..models.decoder import _stack_blocks
         for lane in self.lanes:
             while len(lane.pending) < max_frames:
@@ -402,6 +441,96 @@ class BatchedDecoder:
             fn = batched_pipeline(fmt, self.mesh, self.emit_int16)
         self._fmt = fmt
         self._carry, pcm = fn(self._carry, blocks)
+        return pcm, valid
+
+    # -- raw-H2D path (device bitstream unpack) -----------------------------
+
+    def _parse_raw(self, lane: StreamLane, fb: bytes):
+        """Side-info-only parse of one frame -> (bytes, recs[6], fmt),
+        or None for a malformed frame (masked lane-frame)."""
+        p = lane.parser
+        p.rec.clear()
+        try:
+            br, _ = p.frame(fb, self.flags, self.level, self.bias)
+            for _ in range(T.NB_BLOCKS):
+                p._block(br)
+            recs = list(p.rec)
+            p.rec.clear()
+            if len(recs) != T.NB_BLOCKS:
+                return None
+            r0 = recs[0]
+            fmt = StreamFormat(acmod=int(r0["acmod"]),
+                               output=int(r0["output"]),
+                               slev_zero=bool(r0["slev_zero"]),
+                               chanbias=int(r0["chanbias"]))
+            return fb, recs, fmt
+        except Exception:
+            p.rec.clear()
+            return None
+
+    def _decode_available_raw(self, max_frames: int):
+        """Raw-H2D decode step: ship frame bytes + side-info meta, unpack
+        and decode everything else on device (raw_batched_pipeline)."""
+        from ..ops.unpack_device import (init_unpack_carry, null_raw_rec,
+                                         stack_raw_meta)
+        for lane in self.lanes:
+            while len(lane.pending) < max_frames:
+                fb = self._next_frame(lane)
+                if fb is None:
+                    break
+                lane.pending.append(self._parse_raw(lane, fb))
+        nf = min((len(l.pending) for l in self.lanes), default=0)
+        if nf == 0:
+            return None
+        per_lane = [lane.pending[:nf] for lane in self.lanes]
+        for lane in self.lanes:
+            del lane.pending[:nf]
+        L = len(self.lanes)
+        valid = np.array([[f is not None for f in row] for row in per_lane])
+
+        fmts = {f[2] for row in per_lane for f in row if f is not None}
+        if len(fmts) > 1:
+            raise ValueError(
+                "raw-H2D mode requires a format-homogeneous batch; use "
+                "parser='python' or 'native' for mixed-format lanes")
+        if fmts:
+            fmt = fmts.pop()
+        elif self._fmt is not None:
+            fmt = self._fmt
+        else:
+            out = self.flags & T.A52_CHANNEL_MASK
+            fmt = StreamFormat(acmod=out, output=out, slev_zero=True,
+                               chanbias=0)
+
+        mb = max((len(f[0]) for row in per_lane for f in row
+                  if f is not None), default=128)
+        mb = -(-mb // 128) * 128
+        fu8 = np.zeros((L, nf, mb), np.uint8)
+        null6 = [null_raw_rec()] * T.NB_BLOCKS
+        metas = []
+        for li, row in enumerate(per_lane):
+            recs = []
+            for fi, f in enumerate(row):
+                if f is None:
+                    recs.extend(null6)
+                else:
+                    fu8[li, fi, :len(f[0])] = np.frombuffer(f[0], np.uint8)
+                    recs.extend(f[1])
+            metas.append(stack_raw_meta(recs))
+        meta = {k: np.stack([m[k] for m in metas]) for k in metas[0]
+                if k != "raw_ok"}
+
+        steady = steady_ok(fmt, {"blksw": meta["blksw"].astype(bool),
+                                 "coeff": meta["coeff"]})
+        lo = steady and not meta["blksw"].any()
+        if self._raw_carry is None:
+            self._raw_carry = init_unpack_carry(L)
+        bias = np.full((L, T.NB_BLOCKS * nf), self.bias, np.float32)
+        fn = raw_batched_pipeline(fmt, self.mesh, self.emit_int16,
+                                  steady=steady, long_only=lo)
+        self._fmt = fmt
+        carry = (self._raw_carry, self._carry)
+        (self._raw_carry, self._carry), pcm = fn(carry, fu8, meta, bias)
         return pcm, valid
 
     # -- native dense-parser path -------------------------------------------
@@ -807,4 +936,4 @@ class BatchedDecoder:
         s = self.lanes[0].parser.s
         return FrameData(acmod=s.acmod, lfeon=s.lfeon, output=s.output,
                          nfchans=int(T.NFCHANS[s.acmod]), bias=np.float32(self.bias),
-                         blocks=[blk] * 6)
+                         slev=s.slev, blocks=[blk] * 6)
