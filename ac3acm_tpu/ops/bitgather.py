@@ -13,11 +13,13 @@ XLA's gather HLO runs at ~0.03 Gslot/s on v5e at these shapes (measured)
 are monotone within each 128-slot tile, so every tile's fields live in a
 small window of the buffer:
 
-  * the window is a dynamic few-row slice of the [rows, 128]-byte image
+  * a p24 plane (24-bit little window at every byte position, < 2^24 so
+    exact in f32) is precomputed once per buffer outside the kernel,
+  * the window is a dynamic few-row slice of the [rows, 128] p24 image
     (sublane-dim pl.ds; start rows scalar-prefetched),
-  * per-slot byte selection is a one-hot [window, 128] bf16 matmul
-    against the window's 3 shift planes (bytes b, b+1, b+2) -- byte
-    values <=255 are exact in bf16, so the MXU gathers losslessly,
+  * per-slot selection decomposes by radix: a [slots, 128] lane one-hot
+    f32 matmul picks the column (exact -- each output sums one one-hot
+    product), then a per-row select picks the window row,
   * the <=16-bit field is then shifted/masked out on the VPU, exactly
     BitReader.gather's arithmetic (host/bitio.py:53-68).
 
@@ -41,35 +43,39 @@ TS = 128                 # slots per tile (lane dim)
 TPG = 8                  # tiles per grid step (sublane dim)
 
 
-def _kernel(win_rows, flat, starts_ref, bytes_ref, offs_ref, widths_ref,
+def _kernel(win_rows, flat, starts_ref, p24_ref, offs_ref, widths_ref,
             out_ref):
     u = pl.program_id(1)
+    fr = flat // 128                                      # window rows
     rows = []
     wins = []
     for r in range(TPG):
         row = starts_ref[0, 0, u * TPG + r]
         rows.append(row)
-        w = bytes_ref[0, pl.ds(row, win_rows), :]         # [win_rows, 128]
-        wins.append(w.reshape(1, win_rows * 128))
-    win8 = jnp.concatenate(wins, axis=0)                  # [8, rows*128]
+        wins.append(p24_ref[0, pl.ds(row, fr), :])        # [fr, 128] f32
+    win = jnp.stack(wins, axis=0)                         # [8, fr, 128]
     offs = offs_ref[0]                                    # [8, 128]
     base = jnp.stack(rows).astype(jnp.int32).reshape(TPG, 1)
     within = (offs >> 3) - base * 128                     # [8, 128]
-    # weighted one-hot: byte at p contributes <<16, p+1 <<8, p+2 <<0.
-    # weights {65536, 256, 1} and bytes <=255 are exact in bf16; the sum
-    # is < 2^24, exact in the f32 accumulator -- the MXU reassembles the
-    # 24-bit window losslessly in one pass.
-    pos = jax.lax.broadcasted_iota(jnp.int32, (TPG, flat, TS), 1)
-    wi = within[:, None, :]
-    m = ((pos == wi).astype(jnp.float32) * 65536.0
-         + (pos == wi + 1).astype(jnp.float32) * 256.0
-         + (pos == wi + 2).astype(jnp.float32))
-    lhs = jax.lax.slice(win8, (0, 0), (TPG, flat)).reshape(TPG, 1, flat)
-    g = jax.lax.dot_general(
-        lhs.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [8, 1, 128]
-    w24 = g[:, 0].astype(jnp.int32)
+    # radix gather: the precomputed p24 plane holds the 24-bit window at
+    # every byte position (values < 2^24, exact in f32), so selecting a
+    # byte position decomposes into a lane one-hot matmul (low 7 bits)
+    # plus a row select (high bits).  Each matmul output picks exactly
+    # one p24 entry -- products and sums are exact in f32.
+    lo = within & 127
+    hi = within >> 7
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TPG, TS, 128), 2)
+    oh = (lane == lo[..., None]).astype(jnp.float32)      # [8, TS, 128]
+    t = jax.lax.dot_general(
+        win, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        # HIGHEST: default TPU precision truncates the 24-bit p24 values
+        # to one bf16 pass; the multi-pass form is exact for f32 ints
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)               # [8, fr, TS]
+    w24 = jnp.zeros((TPG, TS), jnp.float32)
+    for h in range(fr):
+        w24 = jnp.where(hi == h, t[:, h, :], w24)
+    w24 = w24.astype(jnp.int32)
     widths = widths_ref[0]
     shift = 24 - (offs & 7) - widths
     val = (w24 >> shift) & ((jnp.int32(1) << widths) - 1)
@@ -101,6 +107,19 @@ def _build(N: int, T: int, rows: int, shared: bool, win_rows: int,
     )
 
 
+def _to_p24(data, slack_rows):
+    """[*, MB] uint8 -> [*, rows, 128] f32 of 24-bit byte windows:
+    p24[p] = b[p]<<16 | b[p+1]<<8 | b[p+2] (values < 2^24, exact f32)."""
+    MB = data.shape[-1]
+    rows = -(-(MB + 2) // 128) + slack_rows
+    pad = rows * 128 - MB
+    d = jnp.pad(data, [(0, 0)] * (data.ndim - 1)
+                + [(0, pad)]).astype(jnp.int32)
+    p24 = (d[..., :-2] << 16) | (d[..., 1:-1] << 8) | d[..., 2:]
+    p24 = jnp.pad(p24, [(0, 0)] * (data.ndim - 1) + [(0, 2)])
+    return p24.reshape(data.shape[:-1] + (rows, 128)).astype(jnp.float32)
+
+
 def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
          flat: int):
     N, S = offsets.shape
@@ -123,26 +142,16 @@ def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
     return out.reshape(N, T * TS)[:, :S]
 
 
-def _to_rows(data, slack_rows):
-    """[*, MB] uint8 -> [*, rows, 128] int32 with window slack."""
-    MB = data.shape[-1]
-    rows = -(-(MB + 2) // 128) + slack_rows
-    pad = rows * 128 - MB
-    data = jnp.pad(data, [(0, 0)] * (data.ndim - 1) + [(0, pad)])
-    return data.reshape(data.shape[:-1] + (rows, 128)).astype(jnp.int32)
-
-
 def extract_fields(data, offsets, widths):
     """data [N, MB] uint8; offsets/widths [N, S] int32 (bit offsets,
     widths 0..16).  Returns [N, S] int32 unsigned field values.
 
     Requirements (ops.unpack_device enforces):
-      * within each 128-slot tile, offsets are monotone nondecreasing
-        (so the tile's fields span <= 128*16 = 2048 bits and fit the
-        5-row/512-byte window),
+      * within each 128-slot tile, offsets span <= 128*16 = 2048 bits
+        past the tile minimum (so the fields fit the 512-byte window),
       * inactive slots carry a nearby active offset (width 0 -> value 0).
     """
-    return _run(_to_rows(data, 5), offsets, widths, shared=False,
+    return _run(_to_p24(data, 5), offsets, widths, shared=False,
                 win_rows=5, flat=512)
 
 
@@ -156,7 +165,7 @@ def extract_fields_shared(table, offsets, widths=None, span_rows=14):
     N, S = offsets.shape
     if widths is None:
         widths = jnp.full((N, S), 16, jnp.int32)
-    tab = _to_rows(table[None, :], span_rows)
+    tab = _to_p24(table[None, :], span_rows)
     flat = (span_rows - 2) * 128
     return _run(tab, offsets, widths, shared=True, win_rows=span_rows,
                 flat=flat)
