@@ -84,19 +84,49 @@ def null_raw_rec() -> dict:
     }
 
 
+# wire dtypes: the raw-H2D path ships meta over the (slow) host link, so
+# every field travels as the narrowest dtype that holds its range.  Bit
+# offsets < 8*3840 = 30720 fit int16; band/bin counts fit int16; codes,
+# flags and deltba deltas fit int8.  unpack_blocks upcasts once on device.
+_META_WIRE_DTYPES = {
+    "exp_off": np.int16, "expstr": np.int8, "ngrps": np.int8,
+    "cplco_off": np.int16, "phs_off": np.int16, "man_off": np.int16,
+    "endmant": np.int16, "chincpl": np.int8, "phsflginu": np.int8,
+    "cplstrt": np.int16, "cplend": np.int16, "cplbndstrc": np.int32,
+    "ncplbnd": np.int8, "cplstrtbnd": np.int8, "bai": np.int16,
+    "csnroffst": np.int8, "cplbai": np.int8, "babai": np.int8,
+    "lfebai": np.int8, "cplfleak": np.int8, "cplsleak": np.int8,
+    "dith": np.int8, "blksw": np.int8, "chanbias": np.int8,
+    "rematflg": np.int8, "lfeon": np.int8, "lfe_out": np.int8,
+    "fscod": np.int8, "halfrate": np.int8, "deltba": np.int8,
+}
+
+
 def stack_raw_meta(recs: list) -> dict:
-    """Stack A52Parser raw records (one per block) into [S, ...] arrays."""
+    """Stack A52Parser raw records (one per block) into [S, ...] arrays
+    in the narrow wire dtypes (offsets -1 sentinels survive: all wire
+    dtypes are signed)."""
     out = {}
     for k in _META_KEYS:
         vals = [r[k] for r in recs]
+        dt = _META_WIRE_DTYPES.get(k, np.float32)
         if isinstance(vals[0], np.ndarray):
-            out[k] = np.stack(vals).astype(
-                np.float32 if vals[0].dtype.kind == "f" else np.int32)
-        elif isinstance(vals[0], (float, np.floating)):
-            out[k] = np.asarray(vals, np.float32)
+            out[k] = np.stack(vals).astype(dt)
         else:
-            out[k] = np.asarray(vals, np.int32)
+            out[k] = np.asarray(vals, dt)
     out["raw_ok"] = np.asarray([bool(r["raw_ok"]) for r in recs], bool)
+    return out
+
+
+def widen_meta(meta: dict) -> dict:
+    """Device-side upcast of the wire meta to compute dtypes (int32/f32);
+    one fused elementwise pass, so all downstream math is unchanged."""
+    out = {}
+    for k, v in meta.items():
+        if v.dtype == jnp.float32 or v.dtype == bool:
+            out[k] = v
+        else:
+            out[k] = v.astype(jnp.int32)
     return out
 
 
@@ -329,7 +359,7 @@ def allocate_rows(exp, meta):
     excite = exc_f.at[..., 5, :].set(exc_c)
 
     mask = A.masking_curve(bndpsd, excite, bcast(dbknee)[..., None], hth,
-                           deltba=meta["deltba"])
+                           deltba=meta.get("deltba"))
     bap = A.bap_from_mask(psd, mask, snro[..., None],
                           bcast(floor)[..., None], start, end)
 
@@ -722,6 +752,7 @@ def unpack_blocks(frames_u8, meta, carry, bias):
     pipeline contract: freq [L, S, 6, 256], blksw, coeff, remat, bias."""
     L, F, MB = frames_u8.shape
     S = 6 * F
+    meta = widen_meta(meta)
     exp, carry_exp = unpack_exponents(frames_u8, meta, carry["exp"])
     bap = allocate_rows(exp, meta)
     cplco, carry_cplco = unpack_cplco(frames_u8, meta, carry["cplco"])

@@ -316,7 +316,7 @@ class BatchedDecoder:
                  parser: str = "python", nthreads=None,
                  compact_h2d: bool = False):
         from ..host.parse import A52Parser
-        sideinfo = parser == "raw"
+        sideinfo = parser == "raw_py"
         self.lanes = [StreamLane(parser=A52Parser(sideinfo_only=sideinfo))
                       for _ in range(batch)]
         self.flags = flags
@@ -336,9 +336,13 @@ class BatchedDecoder:
         self._dense = None
         self._pre_planes = None
         self._raw_carry = None           # unpack carry (raw-H2D mode)
+        self._sdense = None              # native side-info pool (raw mode)
         if parser == "native":
             from ..host.native import DenseBatchParser
             self._dense = DenseBatchParser(batch, nthreads)
+        elif parser == "raw":
+            from ..host.native import SideinfoBatchParser
+            self._sdense = SideinfoBatchParser(batch, nthreads)
 
     def feed(self, lane: int, data: bytes):
         ln = self.lanes[lane]
@@ -371,7 +375,9 @@ class BatchedDecoder:
         """
         if self._dense is not None:
             return self._decode_available_native(max_frames)
-        if self._parser_kind == "raw":
+        if self._sdense is not None:
+            return self._decode_available_raw_native(max_frames)
+        if self._parser_kind == "raw_py":
             return self._decode_available_raw(max_frames)
         from ..models.decoder import _stack_blocks
         for lane in self.lanes:
@@ -488,19 +494,8 @@ class BatchedDecoder:
         L = len(self.lanes)
         valid = np.array([[f is not None for f in row] for row in per_lane])
 
-        fmts = {f[2] for row in per_lane for f in row if f is not None}
-        if len(fmts) > 1:
-            raise ValueError(
-                "raw-H2D mode requires a format-homogeneous batch; use "
-                "parser='python' or 'native' for mixed-format lanes")
-        if fmts:
-            fmt = fmts.pop()
-        elif self._fmt is not None:
-            fmt = self._fmt
-        else:
-            out = self.flags & T.A52_CHANNEL_MASK
-            fmt = StreamFormat(acmod=out, output=out, slev_zero=True,
-                               chanbias=0)
+        fmt = self._raw_pick_fmt(
+            {f[2] for row in per_lane for f in row if f is not None})
 
         mb = max((len(f[0]) for row in per_lane for f in row
                   if f is not None), default=128)
@@ -519,6 +514,18 @@ class BatchedDecoder:
             metas.append(stack_raw_meta(recs))
         meta = {k: np.stack([m[k] for m in metas]) for k in metas[0]
                 if k != "raw_ok"}
+        return self._raw_dispatch(fmt, fu8, meta, valid)
+
+    def _raw_dispatch(self, fmt, fu8, meta, valid):
+        """Shared tail of the raw-H2D paths: ship frame bytes + meta,
+        unpack and decode on device."""
+        from ..ops.unpack_device import init_unpack_carry
+        L, nf = fu8.shape[:2]
+        # delta bit allocation is rare; when no block in the chunk uses
+        # it, don't ship the [7, 50] tensors (2.1 KB/frame) at all --
+        # the jit specializes on the meta pytree structure
+        if not meta["deltba"].any():
+            del meta["deltba"]
 
         steady = steady_ok(fmt, {"blksw": meta["blksw"].astype(bool),
                                  "coeff": meta["coeff"]})
@@ -532,6 +539,64 @@ class BatchedDecoder:
         carry = (self._raw_carry, self._carry)
         (self._raw_carry, self._carry), pcm = fn(carry, fu8, meta, bias)
         return pcm, valid
+
+    def _raw_pick_fmt(self, fmts: set):
+        if len(fmts) > 1:
+            raise ValueError(
+                "raw-H2D mode requires a format-homogeneous batch; use "
+                "parser='python' or 'native' for mixed-format lanes")
+        if fmts:
+            return fmts.pop()
+        if self._fmt is not None:
+            return self._fmt
+        out = self.flags & T.A52_CHANNEL_MASK
+        return StreamFormat(acmod=out, output=out, slev_zero=True,
+                            chanbias=0)
+
+    def _decode_available_raw_native(self, max_frames: int):
+        """Raw-H2D decode with the native side-info pool: one ctypes call
+        parses every lane (C++ threads, GIL released) and emits frame
+        bytes + RawRecWire side-info; the device does the rest."""
+        L = len(self.lanes)
+        need = max_frames - min(len(l.pending) for l in self.lanes)
+        if need > 0:
+            r = self._sdense.parse([(l.buf, l.pos) for l in self.lanes],
+                                   need, self.flags, self.level, self.bias)
+            for i, lane in enumerate(self.lanes):
+                lane.pos += int(r["consumed"][i])
+                for f in range(int(r["nframes"][i])):
+                    ok = bool(r["valid"][i, f])
+                    fmt = None
+                    if ok and r["fmt"][i, f, 3]:
+                        fmt = StreamFormat(
+                            acmod=int(r["fmt"][i, f, 0]),
+                            output=int(r["fmt"][i, f, 1]),
+                            slev_zero=bool(r["fmt"][i, f, 2]),
+                            chanbias=int(r["recs"][i, 6 * f]["chanbias"]))
+                    lane.pending.append(
+                        (r["frames"][i, f],
+                         int(r["fsizes"][i, f]) if ok else 0,
+                         r["recs"][i, 6 * f: 6 * f + 6], fmt))
+        nf = min((len(l.pending) for l in self.lanes), default=0)
+        if nf == 0:
+            return None
+        per_lane = [lane.pending[:nf] for lane in self.lanes]
+        for lane in self.lanes:
+            del lane.pending[:nf]
+        valid = np.array([[f[3] is not None for f in row]
+                          for row in per_lane])
+        fmt = self._raw_pick_fmt(
+            {f[3] for row in per_lane for f in row if f[3] is not None})
+        mb = max((f[1] for row in per_lane for f in row), default=128)
+        mb = max(-(-mb // 128) * 128, 128)
+        fu8 = np.zeros((L, nf, mb), np.uint8)
+        for li, row in enumerate(per_lane):
+            for fi, f in enumerate(row):
+                fu8[li, fi] = f[0][:mb]
+        recs = np.stack([np.concatenate([f[2] for f in row])
+                         for row in per_lane])             # [L, S] structured
+        meta = {k: np.ascontiguousarray(recs[k]) for k in recs.dtype.names}
+        return self._raw_dispatch(fmt, fu8, meta, valid)
 
     # -- native dense-parser path -------------------------------------------
 

@@ -512,6 +512,47 @@ struct ChannelBA {
 
 typedef float (*dynrng_cb)(float, void*);
 
+// Raw-H2D side-info record, one per block: the exact wire layout the
+// device unpack consumes (ops/unpack_device.py _META_WIRE_DTYPES; numpy
+// structured-dtype mirror in host/native.py RAW_REC_DTYPE).  Bit offsets
+// are frame-relative; -1 = field absent this block.
+#pragma pack(push, 1)
+struct RawRecWire {
+    int16_t exp_off[7];          // 0-4 fbw, 5 cpl, 6 lfe
+    int8_t expstr[7];
+    int8_t ngrps[7];
+    int16_t cplco_off[5];
+    int16_t phs_off;
+    int16_t man_off;
+    int16_t endmant[5];
+    int8_t chincpl;
+    int8_t phsflginu;
+    int16_t cplstrt;
+    int16_t cplend;
+    int32_t cplbndstrc;
+    int8_t ncplbnd;
+    int8_t cplstrtbnd;
+    int16_t bai;
+    int8_t csnroffst;
+    int8_t cplbai;
+    int8_t babai[5];
+    int8_t lfebai;
+    int8_t cplfleak;
+    int8_t cplsleak;
+    int8_t dith[5];
+    int8_t blksw[5];
+    float coeff[5];
+    int8_t chanbias;
+    int8_t rematflg;
+    float lfe_scale;
+    int8_t lfeon;
+    int8_t lfe_out;
+    int8_t fscod;
+    int8_t halfrate;
+    int8_t deltba[7][50];
+};
+#pragma pack(pop)
+
 struct Parser {
     int fscod, halfrate, acmod, lfeon, output;
     float clev, slev, level, bias, dynrng;
@@ -535,6 +576,14 @@ struct Parser {
     uint8_t lfe_exp[7];
     int8_t lfe_bap[7];
     uint16_t lfsr;
+    // deltba in effect at each row's LAST bit allocation (fbw 0-4, cpl 5):
+    // bap caches across blocks, so the raw-H2D meta must ship the
+    // cached-alloc inputs (mirrors host/parse.py DecoderState.eff_deltba)
+    int8_t eff_deltba[7][50];
+    // side-info-only parse mode: when set, parse_block records bit
+    // offsets + resolved side-info into rec_base[blk] and skips the
+    // mantissa walk (the device unpacks mantissas itself)
+    RawRecWire* rec_base;
 };
 
 // per-frame dense output block: caller-allocated, layout mirrors the Python
@@ -771,11 +820,57 @@ static int zero_snr_offsets(Parser* s, int nfchans) {
     return 1;
 }
 
+// null side-info record: csnroffst 0 with all bai clear rides the
+// zero-SNR shortcut, so the device emits silence for the block (must
+// match ops/unpack_device.py null_raw_rec exactly)
+static void raw_rec_null(RawRecWire* rc) {
+    memset(rc, 0, sizeof(*rc));
+    for (int i = 0; i < 7; i++) rc->exp_off[i] = -1;
+    for (int i = 0; i < 5; i++) rc->cplco_off[i] = -1;
+    rc->phs_off = -1;
+    rc->cplstrt = 37;
+    rc->cplend = 37;
+}
+
+// total bit width of the block's mantissa field: the coded-order lattice
+// (fbw channels with the coupling walk spliced after the first coupled
+// channel, LFE last) with the grouped-quantizer carries (bap 1/2/4 read
+// a code only at draw 0 mod 3/3/2 across the whole block) -- mirrors
+// host/parse.py _mantissa_bits and ops.unpack_device's width model
+static int mantissa_bits(Parser* s, int nfchans) {
+    int c1 = 0, c2 = 0, c4 = 0, bits = 0;
+    auto row = [&](const int8_t* bap, int start, int end) {
+        for (int i = start; i < end; i++) {
+            switch (bap[i]) {
+            case 0: break;
+            case 1: if (c1 == 0) bits += 5; c1 = (c1 + 1) % 3; break;
+            case 2: if (c2 == 0) bits += 7; c2 = (c2 + 1) % 3; break;
+            case 3: bits += 3; break;
+            case 4: if (c4 == 0) bits += 7; c4 ^= 1; break;
+            case 5: bits += 4; break;
+            default: bits += g_bapbits[(int)bap[i]];
+            }
+        }
+    };
+    int done_cpl = 0;
+    for (int i = 0; i < nfchans; i++) {
+        row(s->fbw_bap[i], 0, s->endmant[i]);
+        if (((s->chincpl >> i) & 1) && !done_cpl) {
+            done_cpl = 1;
+            row(s->cpl_bap, s->cplstrtmant, s->cplendmant);
+        }
+    }
+    if (s->lfeon) row(s->lfe_bap, 0, 7);
+    return bits;
+}
+
 template <class SINK>
 static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
                        SINK& sink)
 {
     int nfchans = NFCHANS_TBL[s->acmod];
+    RawRecWire* rc = s->rec_base ? s->rec_base + blk : nullptr;
+    if (rc) raw_rec_null(rc);
     uint8_t blksw[5] = {0}, dithflag[5] = {0};
     for (int i = 0; i < nfchans; i++) blksw[i] = br.read(1);
     for (int i = 0; i < nfchans; i++) dithflag[i] = br.read(1);
@@ -819,6 +914,7 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
         for (int i = 0; i < nfchans; i++)
             if ((s->chincpl >> i) & 1 && br.read(1)) {
                 cplcoe = 1;
+                if (rc) rc->cplco_off[i] = (int16_t)br.pos;
                 int mstr = 3 * br.read(2);
                 for (int j = 0; j < s->ncplbnd; j++) {
                     int cexp = br.read(4);
@@ -828,9 +924,11 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
                     s->cplco[i][j] = (float)cmant * g_scale[cexp + mstr];
                 }
             }
-        if (s->acmod == 2 && s->phsflginu && cplcoe)
+        if (s->acmod == 2 && s->phsflginu && cplcoe) {
+            if (rc) rc->phs_off = (int16_t)br.pos;
             for (int j = 0; j < s->ncplbnd; j++)
                 if (br.read(1)) s->cplco[1][j] = -s->cplco[1][j];
+        }
     }
 
     if (s->acmod == 2 && br.read(1)) {      // rematstr
@@ -862,6 +960,11 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
     if (cplexpstr != EXP_REUSE) {
         do_bit_alloc = 64;
         int ncplgrps = (s->cplendmant - s->cplstrtmant) / (3 << (cplexpstr - 1));
+        if (rc) {
+            rc->exp_off[5] = (int16_t)br.pos;
+            rc->expstr[5] = (int8_t)cplexpstr;
+            rc->ngrps[5] = (int8_t)ncplgrps;
+        }
         int cplabsexp = br.read(4) << 1;
         if (parse_exponents(br, cplexpstr, ncplgrps, cplabsexp,
                             s->cpl_exp + s->cplstrtmant))
@@ -872,6 +975,11 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
             do_bit_alloc |= 1 << i;
             int grp = 3 << (chexpstr[i] - 1);
             int nchgrps = (s->endmant[i] + grp - 4) / grp;
+            if (rc) {
+                rc->exp_off[i] = (int16_t)br.pos;
+                rc->expstr[i] = (int8_t)chexpstr[i];
+                rc->ngrps[i] = (int8_t)nchgrps;
+            }
             s->fbw_exp[i][0] = br.read(4);
             if (parse_exponents(br, chexpstr[i], nchgrps, s->fbw_exp[i][0],
                                 s->fbw_exp[i] + 1))
@@ -880,6 +988,11 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
         }
     if (s->lfeon && lfeexpstr != EXP_REUSE) {
         do_bit_alloc |= 32;
+        if (rc) {
+            rc->exp_off[6] = (int16_t)br.pos;
+            rc->expstr[6] = 1;                 // EXP_D15
+            rc->ngrps[6] = 2;
+        }
         s->lfe_exp[0] = br.read(4);
         uint8_t tmp[24];
         if (parse_exponents(br, 1, 2, s->lfe_exp[0], tmp)) return 1;
@@ -929,21 +1042,31 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
             auto snro = [&](int bai7) {
                 return ((((s->csnroffst - 15) << 4) + (bai7 >> 3)) << 2);
             };
-            if (s->chincpl && (do_bit_alloc & 64))
+            if (s->chincpl && (do_bit_alloc & 64)) {
+                if (s->cplba.deltbae != DELTA_BIT_NONE)
+                    memcpy(s->eff_deltba[5], s->cplba.deltba, 50);
+                else
+                    memset(s->eff_deltba[5], 0, 50);
                 bit_allocate(s->cpl_exp, s->cplstrtmant, s->cplendmant,
                              snro(s->cplba.bai), g_fgain[s->cplba.bai & 7], P,
                              false, s->cplfleak, s->cplsleak,
                              s->cplba.deltbae != DELTA_BIT_NONE
                                  ? s->cplba.deltba : nullptr,
                              s->cpl_bap);
+            }
             for (int i = 0; i < nfchans; i++)
-                if (do_bit_alloc & (1 << i))
+                if (do_bit_alloc & (1 << i)) {
+                    if (s->ba[i].deltbae != DELTA_BIT_NONE)
+                        memcpy(s->eff_deltba[i], s->ba[i].deltba, 50);
+                    else
+                        memset(s->eff_deltba[i], 0, 50);
                     bit_allocate(s->fbw_exp[i], 0, s->endmant[i],
                                  snro(s->ba[i].bai), g_fgain[s->ba[i].bai & 7],
                                  P, false, 0, 0,
                                  s->ba[i].deltbae != DELTA_BIT_NONE
                                      ? s->ba[i].deltba : nullptr,
                                  s->fbw_bap[i]);
+                }
             if (s->lfeon && (do_bit_alloc & 32)) {
                 s->lfeba.deltbae = DELTA_BIT_NONE;
                 uint8_t e[256] = {0};
@@ -967,6 +1090,44 @@ static int parse_block(Parser* s, BitReader& br, FrameOut* out, int blk,
                                  s->clev, s->slev);
     memcpy(out->coeff[blk], coeff, sizeof(coeff));
     out->chanbias = chanbias;
+
+    if (rc) {
+        // side-info-only mode: record the resolved (post-REUSE) state the
+        // device allocator needs, then jump the cursor over the mantissa
+        // field (host/parse.py _block's rec.update + _mantissa_bits)
+        rc->man_off = (int16_t)br.pos;
+        for (int i = 0; i < 5; i++)
+            rc->endmant[i] = (int16_t)(i < nfchans ? s->endmant[i] : 0);
+        rc->chincpl = (int8_t)s->chincpl;
+        rc->phsflginu = (int8_t)s->phsflginu;
+        rc->cplstrt = (int16_t)s->cplstrtmant;
+        rc->cplend = (int16_t)s->cplendmant;
+        rc->cplbndstrc = (int32_t)s->cplbndstrc;
+        rc->ncplbnd = (int8_t)s->ncplbnd;
+        rc->cplstrtbnd = (int8_t)s->cplstrtbnd;
+        rc->bai = (int16_t)s->bai;
+        rc->csnroffst = (int8_t)s->csnroffst;
+        rc->cplbai = (int8_t)s->cplba.bai;
+        for (int i = 0; i < 5; i++) rc->babai[i] = (int8_t)s->ba[i].bai;
+        rc->lfebai = (int8_t)s->lfeba.bai;
+        rc->cplfleak = (int8_t)s->cplfleak;
+        rc->cplsleak = (int8_t)s->cplsleak;
+        for (int i = 0; i < 5; i++) {
+            rc->dith[i] = (int8_t)dithflag[i];
+            rc->blksw[i] = (int8_t)blksw[i];
+        }
+        memcpy(rc->coeff, coeff, sizeof(coeff));
+        rc->chanbias = (int8_t)chanbias;
+        rc->rematflg = (int8_t)(s->acmod == 2 ? s->rematflg : 0);
+        rc->lfe_scale = s->dynrng;
+        rc->lfeon = (int8_t)s->lfeon;
+        rc->lfe_out = (s->output & A52_LFE) ? 1 : 0;
+        rc->fscod = (int8_t)s->fscod;
+        rc->halfrate = (int8_t)s->halfrate;
+        memcpy(rc->deltba, s->eff_deltba, sizeof(rc->deltba));
+        br.skip(mantissa_bits(s, nfchans));
+        return 0;
+    }
 
     QuantSet qs;
     qs.q1_ptr = qs.q2_ptr = qs.q4_ptr = -1;
@@ -1658,6 +1819,110 @@ extern "C" void ac3h_parse_many(
         });
     for (auto& th : pool) th.join();
 }
+
+// ---------------------------------------------------------------------------
+// Raw-H2D side-info parse: frame bytes + per-block RawRecWire records out,
+// mantissa walk skipped (the device unpacks mantissas from the bytes).
+// The production host half of BatchedDecoder(parser="raw").
+// ---------------------------------------------------------------------------
+
+extern "C" int ac3h_parse_sideinfo(
+    Parser* s, const uint8_t* buf, int64_t buflen, int maxframes,
+    int flags, float level, float bias,
+    uint8_t* frames_out, int mb,     // [maxframes, mb] frame byte copies
+    int32_t* fsizes,                 // [maxframes] actual frame sizes
+    RawRecWire* recs,                // [maxframes * 6]
+    uint8_t* valid,                  // [maxframes]
+    int32_t* fmtinfo,                // [maxframes, 4]: acmod output slev0 have
+    int64_t* consumed)
+{
+    static thread_local FrameOut fo;
+    int64_t pos = 0;
+    int done = 0;
+    int fl, sr, brr;
+    while (done < maxframes && pos + 7 <= buflen) {
+        int size = ac3h_syncinfo(buf + pos, &fl, &sr, &brr);
+        if (size == 0) { pos++; continue; }
+        if (pos + size > buflen) break;
+        RawRecWire* rb = recs + (int64_t)done * 6;
+        uint8_t* frow = frames_out + (int64_t)done * mb;
+        int32_t* fi = fmtinfo + (int64_t)done * 4;
+        fsizes[done] = size;
+        if (size > mb) {
+            // frame larger than the staging row (mid-stream bitrate jump
+            // past the caller's bound): masked lane-frame
+            for (int b = 0; b < 6; b++) raw_rec_null(rb + b);
+            memset(frow, 0, mb);
+            valid[done] = 0;
+            fi[0] = fi[1] = fi[2] = fi[3] = 0;
+            pos += size;
+            done++;
+            continue;
+        }
+        memcpy(frow, buf + pos, size);
+        memset(frow + size, 0, mb - size);
+        s->rec_base = rb;
+        DropSink sink;
+        int r = ac3h_frame_t(s, buf + pos, flags, level, bias, &fo, sink);
+        s->rec_base = nullptr;
+        pos += size;
+        if (r != 0) {
+            for (int b = 0; b < 6; b++) raw_rec_null(rb + b);
+            memset(frow, 0, mb);
+            valid[done] = 0;
+            fi[0] = fi[1] = fi[2] = fi[3] = 0;
+        } else {
+            valid[done] = 1;
+            fi[0] = fo.acmod;
+            fi[1] = fo.output;
+            fi[2] = fo.slev == 0.0f ? 1 : 0;
+            fi[3] = 1;
+        }
+        done++;
+    }
+    *consumed = pos;
+    return done;
+}
+
+extern "C" void ac3h_parse_sideinfo_many(
+    void* const* parsers, int nlanes,
+    const uint8_t* const* bufs, const int64_t* lens, int maxframes,
+    int flags, float level, float bias,
+    uint8_t* frames_out, int mb, int32_t* fsizes, RawRecWire* recs,
+    uint8_t* valid, int32_t* fmtinfo, int64_t* consumed, int32_t* nframes,
+    int nthreads)
+{
+    auto work = [&](int l) {
+        nframes[l] = ac3h_parse_sideinfo(
+            (Parser*)parsers[l], bufs[l], lens[l], maxframes, flags, level,
+            bias,
+            frames_out + (int64_t)l * maxframes * mb, mb,
+            fsizes + (int64_t)l * maxframes,
+            recs + (int64_t)l * maxframes * 6,
+            valid + (int64_t)l * maxframes,
+            fmtinfo + (int64_t)l * maxframes * 4,
+            consumed + l);
+    };
+    if (nthreads <= 1 || nlanes <= 1) {
+        for (int l = 0; l < nlanes; l++) work(l);
+        return;
+    }
+    std::atomic<int> next{0};
+    int nt = nthreads < nlanes ? nthreads : nlanes;
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; t++)
+        pool.emplace_back([&]() {
+            for (;;) {
+                int l = next.fetch_add(1);
+                if (l >= nlanes) return;
+                work(l);
+            }
+        });
+    for (auto& th : pool) th.join();
+}
+
+extern "C" int ac3h_rawrec_size() { return (int)sizeof(RawRecWire); }
 
 // ===========================================================================
 // Native frame packer: the host half of the encode path.

@@ -40,18 +40,21 @@ def _drain(d, max_frames):
 ], ids=["51_downmix", "stereo_pass", "cpl51"])
 @pytest.mark.parametrize("chunk", [3, 8], ids=["chunk3", "chunk8"])
 def test_raw_matches_python(name, flags, chunk):
+    """Both raw host parsers (pure-python and the native side-info pool)
+    must emit PCM bitwise identical to the standard python path."""
     es = _es(name)
-    for kind in ("python", "raw"):
+    ref = None
+    for kind in ("python", "raw_py", "raw"):
         d = BatchedDecoder(2, flags, bias=384.0, parser=kind)
         d.feed(0, es)
         d.feed(1, es)
         pcm, valid = _drain(d, chunk)
         assert valid.all()
-        if kind == "python":
+        if ref is None:
             ref = pcm
         else:
-            assert pcm.shape == ref.shape
-            np.testing.assert_array_equal(pcm, ref)
+            assert pcm.shape == ref.shape, kind
+            np.testing.assert_array_equal(pcm, ref, err_msg=kind)
 
 
 def test_raw_int16_and_corrupt_lane():
@@ -70,7 +73,7 @@ def test_raw_int16_and_corrupt_lane():
     bad[pos + 8: pos + 40] = b"\xff" * 32
 
     outs = {}
-    for kind in ("python", "raw"):
+    for kind in ("python", "raw_py", "raw"):
         d = BatchedDecoder(3, flags, bias=384.0, emit_int16=True,
                            parser=kind)
         d.feed(0, es)
@@ -80,16 +83,18 @@ def test_raw_int16_and_corrupt_lane():
         assert valid[0].all() and valid[2].all()
         assert not valid[1].all()
         outs[kind] = (pcm, valid)
-    pr, vr = outs["raw"]
     pp, vp = outs["python"]
-    np.testing.assert_array_equal(vr, vp)
-    np.testing.assert_array_equal(pr[0], pp[0])
-    np.testing.assert_array_equal(pr[2], pp[2])
-    # the corrupted lane: valid frames bitwise equal, masked frames silent
-    for f in range(vr.shape[1]):
-        if vr[1, f]:
-            np.testing.assert_array_equal(pr[1, 6 * f: 6 * f + 6],
-                                          pp[1, 6 * f: 6 * f + 6])
+    for kind in ("raw_py", "raw"):
+        pr, vr = outs[kind]
+        np.testing.assert_array_equal(vr, vp, err_msg=kind)
+        np.testing.assert_array_equal(pr[0], pp[0], err_msg=kind)
+        np.testing.assert_array_equal(pr[2], pp[2], err_msg=kind)
+        # corrupted lane: valid frames bitwise equal, masked frames silent
+        for f in range(vr.shape[1]):
+            if vr[1, f]:
+                np.testing.assert_array_equal(pr[1, 6 * f: 6 * f + 6],
+                                              pp[1, 6 * f: 6 * f + 6],
+                                              err_msg=kind)
 
 
 def test_raw_deltba_and_dither():
@@ -105,7 +110,7 @@ def test_raw_deltba_and_dither():
             continue
         flags = T.A52_STEREO
         ref = None
-        for kind in ("python", "raw"):
+        for kind in ("python", "raw_py", "raw"):
             d = BatchedDecoder(1, flags, parser=kind)
             d.feed(0, es)
             pcm, valid = _drain(d, 2)      # chunked: carries cross chunks
@@ -113,7 +118,7 @@ def test_raw_deltba_and_dither():
             if ref is None:
                 ref = pcm
             else:
-                np.testing.assert_array_equal(pcm, ref)
+                np.testing.assert_array_equal(pcm, ref, err_msg=kind)
 
 
 def test_raw_rejects_mixed_formats():

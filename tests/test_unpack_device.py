@@ -63,7 +63,8 @@ def device_inputs(frames, rec):
     for i, f in enumerate(frames):
         fu8[0, i, :len(f)] = np.frombuffer(f, np.uint8)
     meta_np = U.stack_raw_meta(rec)
-    meta = {k: jnp.asarray(v[None]) for k, v in meta_np.items()}
+    meta = U.widen_meta({k: jnp.asarray(v[None])
+                         for k, v in meta_np.items()})
     return jnp.asarray(fu8), meta, meta_np
 
 
