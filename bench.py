@@ -294,9 +294,9 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
                   for i in range(batch)]
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
-    def cycle(fetch, compact=False):
+    def cycle(fetch, compact=False, parser="native"):
         dec = BatchedDecoder(batch, flags, bias=384.0, emit_int16=True,
-                             parser="native", compact_h2d=compact)
+                             parser=parser, compact_h2d=compact)
         for i in range(batch):
             dec.feed(i, lane_bytes[i])
         prev = None
@@ -316,24 +316,37 @@ def bench_config2_e2e(batch, chunk_frames, nchunks=4):
         return nfr
 
     out = {}
-    for mode, fetch, compact in (("null", False, False),
-                                 ("fetch", True, False),
-                                 ("null_compact", False, True),
-                                 ("fetch_compact", True, True)):
-        n = cycle(fetch, compact)             # warmup incl. compile
+    for mode, fetch, compact, parser in (
+            ("null", False, False, "native"),
+            ("fetch", True, False, "native"),
+            ("null_compact", False, True, "native"),
+            ("fetch_compact", True, True, "native"),
+            ("null_raw", False, False, "raw"),
+            ("fetch_raw", True, False, "raw")):
+        n = cycle(fetch, compact, parser)     # warmup incl. compile
         t0 = time.perf_counter()
-        n = cycle(fetch, compact)
+        n = cycle(fetch, compact, parser)
         dt = time.perf_counter() - t0
         xrt = batch * n * 6 * 256 / 48000.0 / dt
         log(f"config2 e2e bytes->PCM [{mode} sink]: {batch} lanes x {n} "
             f"frames in {dt * 1000:.0f} ms -> {xrt:.0f}x realtime")
         out[mode] = round(xrt, 1)
     # auditable transfer accounting (stereo premix, P=2 planes):
-    # f32 planes vs block-float mantissas + per-16-bin-group scales
+    # f32 planes vs block-float mantissas + per-16-bin-group scales vs
+    # raw coded bytes + side-info meta (no deltba; measured dtype sum)
     P_pl = 2
     out["h2d_bytes_per_frame_f32"] = 6 * (P_pl * 256 * 4 + 5 + 4)
     out["h2d_bytes_per_frame_compact"] = 6 * (P_pl * 256 * 2
                                               + P_pl * 16 * 4 + 5 + 4)
+    from ac3acm_tpu.host.native import RAW_REC_DTYPE
+    meta_bytes = sum(
+        int(np.dtype(dt).itemsize) * int(np.prod(shp, dtype=int))
+        for _, (dt, shp) in (
+            (n, RAW_REC_DTYPE.fields[n][0].subdtype
+             or (RAW_REC_DTYPE.fields[n][0], ()))
+            for n in RAW_REC_DTYPE.names if n != "deltba"))
+    es_frame = -(-len(base[0]) // 128) * 128
+    out["h2d_bytes_per_frame_raw"] = es_frame + 6 * (meta_bytes + 4)
     return out
 
 
@@ -387,6 +400,89 @@ def bench_hetero(batch, chunk_frames=8, nchunks=3):
             f"{dt * 1000:.0f} ms -> {xrt:.0f}x realtime")
         out[name] = round(xrt, 1)
     return out
+
+
+def bench_config2_raw_device(batch, nframes):
+    """Raw-H2D capability: bitstream unpack ON DEVICE.  Frame bytes +
+    side-info meta staged in HBM; exponent decode, bit allocation,
+    mantissa dequant (Pallas windowed bitfield gathers) and the decode
+    pipeline all run on chip -- the host contribution is only the
+    side-info parse (see e2e_sideinfo_parse_xrt_per_core)."""
+    import jax
+    import jax.numpy as jnp
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import SideinfoBatchParser
+    from ac3acm_tpu.models.decoder import StreamFormat, steady_ok
+    from ac3acm_tpu.ops.unpack_device import init_unpack_carry
+    from ac3acm_tpu.parallel.pipeline import (init_batched_carry,
+                                              raw_batched_pipeline)
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    sp = SideinfoBatchParser(1, nthreads=1)
+    r = sp.parse([golden_es() * ((nframes // 8) + 1)], nframes, flags,
+                 1.0, 384.0)
+    assert int(r["nframes"][0]) == nframes and r["valid"][0].all()
+    mb = max(-(-int(r["fsizes"][0].max()) // 128) * 128, 128)
+    fu8_1 = r["frames"][0, :, :mb]
+    recs = r["recs"][0]
+    meta1 = {k: np.ascontiguousarray(recs[k]) for k in recs.dtype.names}
+    if not meta1["deltba"].any():
+        del meta1["deltba"]
+    fmt = StreamFormat(acmod=int(r["fmt"][0, 0, 0]),
+                       output=int(r["fmt"][0, 0, 1]),
+                       slev_zero=bool(r["fmt"][0, 0, 2]),
+                       chanbias=int(recs[0]["chanbias"]))
+    steady = steady_ok(fmt, {"blksw": meta1["blksw"].astype(bool),
+                             "coeff": meta1["coeff"]})
+    lo = steady and not meta1["blksw"].any()
+
+    def bcast(x):
+        x = jnp.asarray(x)
+        return jax.jit(
+            lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape)
+            .copy())(x)
+
+    fu8 = bcast(fu8_1)
+    meta = {k: bcast(v) for k, v in meta1.items()}
+    bias = jnp.full((batch, 6 * nframes), 384.0, jnp.float32)
+    fn = raw_batched_pipeline(fmt, emit_int16=True, steady=steady,
+                              long_only=lo)
+    chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    state = {"c": (init_unpack_carry(batch), init_batched_carry(batch))}
+    K = int(os.environ.get("BENCH_PIPE_K", "4"))
+
+    def run():
+        for _ in range(K):
+            state["c"], pcm = fn(state["c"], fu8, meta, bias)
+        _ = int(chk(pcm))
+
+    dt, times = best_of(run, warmup=1, reps=5)
+    dt /= K
+    xrt = batch * nframes * 6 * 256 / 48000.0 / dt
+    log(f"config2 raw device (on-chip unpack): {batch} x {nframes}f, "
+        f"best {dt * 1000:.1f} ms, {xrt:.0f}x realtime")
+    return round(xrt, 1)
+
+
+def bench_sideinfo_parse():
+    """Side-info-only host parse rate per core (the raw-H2D host bound)."""
+    import ac3acm_tpu.tables as T
+    from ac3acm_tpu.host.native import SideinfoBatchParser
+    flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
+    big = golden_es() * 16
+    L, F = 8, 12
+    SideinfoBatchParser(L, nthreads=1).parse([big] * L, F, flags, 1.0,
+                                             384.0)
+    d2 = SideinfoBatchParser(L, nthreads=1)
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        d2.parse([big] * L, F, flags, 1.0, 384.0)
+    dt = time.perf_counter() - t0
+    xrt = (L * F * reps * 0.032) / dt
+    us_frame = dt / (L * F * reps) * 1e6
+    log(f"host side-info parse: {us_frame:.1f} us/frame "
+        f"({xrt:.0f}x realtime/core)")
+    return round(xrt, 1), round(us_frame, 2)
 
 
 def bench_host_parse():
@@ -547,6 +643,8 @@ def main():
     if "2" in which:
         configs["c2_batched_decode_device_xrt"] = \
             bench_config2_device(batch, nframes)
+        configs["c2_raw_device_xrt"] = bench_config2_raw_device(
+            int(os.environ.get("BENCH_RAW_BATCH", "256")), 16)
     if "e2e" in which:
         h2d_mbps, d2h_mbps = bench_link()
         configs["link_h2d_mbps"] = h2d_mbps
@@ -556,12 +654,18 @@ def main():
         configs["c2_e2e_bytes_to_pcm_fetch_xrt"] = e2e["fetch"]
         configs["c2_e2e_compact_null_sink_xrt"] = e2e["null_compact"]
         configs["c2_e2e_compact_fetch_xrt"] = e2e["fetch_compact"]
+        configs["c2_e2e_raw_null_sink_xrt"] = e2e["null_raw"]
+        configs["c2_e2e_raw_fetch_xrt"] = e2e["fetch_raw"]
         configs["h2d_bytes_per_frame_f32"] = e2e["h2d_bytes_per_frame_f32"]
         configs["h2d_bytes_per_frame_compact"] = \
             e2e["h2d_bytes_per_frame_compact"]
+        configs["h2d_bytes_per_frame_raw"] = e2e["h2d_bytes_per_frame_raw"]
         parse_xrt, parse_us = bench_host_parse()
         configs["e2e_host_parse_xrt_per_core"] = parse_xrt
         configs["host_us_per_frame"] = parse_us
+        si_xrt, si_us = bench_sideinfo_parse()
+        configs["e2e_sideinfo_parse_xrt_per_core"] = si_xrt
+        configs["sideinfo_us_per_frame"] = si_us
         configs["host_cores"] = os.cpu_count()
     if "3" in which:
         configs["c3_stereo_encode_192k_xrt"] = \
