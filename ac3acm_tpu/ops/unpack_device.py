@@ -24,10 +24,20 @@ Everything is shaped [L, S, ...] with L = lanes and S = 6 * nframes
 blocks in stream order; cross-block state (exponent reuse, coupling
 coordinates, the dither LFSR position) resolves by last-setter gathers
 along S plus an explicit carry at chunk boundaries.
+
+Static specialization (RowPlan): the host knows, per dispatched chunk,
+how many full-bandwidth channels the format has and whether ANY block
+uses coupling, dither or the LFE channel.  prune_raw_meta drops the
+meta keys for absent features, and every stage sizes its row set and
+slot lattice to the active plan -- a stereo no-coupling chunk runs a
+512-slot mantissa lattice instead of 2688 and skips the coupling and
+dither stages outright.  Dead rows pass their carry state through
+unchanged, exactly like liba52's untouched a52_state_t fields.
 """
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,16 +47,104 @@ from .. import tables as T
 from . import alloc as A
 from .bitgather import extract_fields, extract_fields_shared
 
-# exponent-slot layout: per block, 7 rows x 86 slots (abs + 85 groups),
-# padded to 640 so tiles never straddle a block boundary
-EXP_ROW_SLOTS = 86
-EXP_BLOCK_SLOTS = 640
-# rows in STREAM order (the order the fields appear in the bits):
-# cpl, fbw0..fbw4, lfe.  Logical order elsewhere: fbw0..4, cpl, lfe.
-_STREAM2LOGICAL = np.array([5, 0, 1, 2, 3, 4, 6], np.int32)
-_LOGICAL2STREAM = np.argsort(_STREAM2LOGICAL).astype(np.int32)
+# fixed-7 logical row convention (carry + wire meta): fbw0..4, cpl, lfe
+EXP_ROW_SLOTS = 86           # abs + 85 groups per row
 
 _BIG_NEG = -(1 << 20)
+
+
+class RowPlan(NamedTuple):
+    """Static per-dispatch row configuration.
+
+    nfch: full-bandwidth channel count (NFCHANS[acmod], static per
+    format-homogeneous raw batch); has_cpl/has_lfe/has_dith: whether any
+    block in the chunk uses the feature (from meta key presence)."""
+    nfch: int = 5
+    has_cpl: bool = True
+    has_lfe: bool = True
+    has_dith: bool = True
+
+    @property
+    def rows(self):
+        """Active rows in fixed-7 logical indexing (fbw0..4=0-4, cpl=5,
+        lfe=6)."""
+        return (tuple(range(self.nfch))
+                + ((5,) if self.has_cpl else ())
+                + ((6,) if self.has_lfe else ()))
+
+    @property
+    def R(self):
+        return len(self.rows)
+
+    @property
+    def cpl(self):
+        """Active-row index of the coupling row (valid iff has_cpl)."""
+        return self.nfch
+
+    @property
+    def lfe(self):
+        """Active-row index of the LFE row (valid iff has_lfe)."""
+        return self.R - 1
+
+    @property
+    def s2l(self):
+        """Stream position -> active-row index.  Stream order (the order
+        exponent fields appear in the bits): cpl, fbw0.., lfe."""
+        return (((self.cpl,) if self.has_cpl else ())
+                + tuple(range(self.nfch))
+                + ((self.lfe,) if self.has_lfe else ()))
+
+    @property
+    def l2s(self):
+        """Active-row index -> stream position (inverse of s2l)."""
+        return tuple(int(i) for i in np.argsort(np.asarray(self.s2l)))
+
+    @property
+    def exp_block_slots(self):
+        """Exponent slots per block, padded to a 128-multiple so gather
+        tiles never straddle a block boundary."""
+        return -(-self.R * EXP_ROW_SLOTS // 128) * 128
+
+    @property
+    def seg(self):
+        """Mantissa lattice slots per block: fbw rows (interleaved with a
+        cpl copy per channel when coupling is live) + the LFE row."""
+        per_ch = 512 if self.has_cpl else 256
+        return self.nfch * per_ch + (128 if self.has_lfe else 0)
+
+
+def plan_from_meta(meta, nfch: int = 5) -> RowPlan:
+    return RowPlan(nfch=nfch,
+                   has_cpl="chincpl" in meta,
+                   has_lfe="lfeon" in meta,
+                   has_dith="dith" in meta)
+
+
+# meta keys that only exist to serve one feature; prune_raw_meta drops
+# each group when the feature is absent from the whole chunk
+_CPL_KEYS = ("cplco_off", "phs_off", "chincpl", "phsflginu", "cplstrt",
+             "cplend", "cplbndstrc", "ncplbnd", "cplstrtbnd", "cplbai",
+             "cplfleak", "cplsleak")
+_LFE_KEYS = ("lfebai", "lfe_scale", "lfeon", "lfe_out")
+
+
+def prune_raw_meta(meta: dict) -> dict:
+    """Drop meta keys for features absent from the whole chunk (delta
+    bit allocation, coupling, dither, LFE).  The jit specializes on the
+    pytree structure, so each drop selects a cheaper compiled program
+    AND removes the corresponding H2D bytes."""
+    meta = dict(meta)
+    if "deltba" in meta and not np.asarray(meta["deltba"]).any():
+        del meta["deltba"]
+    if "chincpl" in meta and not np.asarray(meta["chincpl"]).any():
+        for k in _CPL_KEYS:
+            meta.pop(k, None)
+    if "dith" in meta and not np.asarray(meta["dith"]).any():
+        del meta["dith"]
+    if "lfeon" in meta and not np.asarray(meta["lfeon"]).any():
+        for k in _LFE_KEYS:
+            meta.pop(k, None)
+    return meta
 
 
 # ---------------------------------------------------------------------------
@@ -134,16 +232,19 @@ def widen_meta(meta: dict) -> dict:
 # stage 1: exponents
 # ---------------------------------------------------------------------------
 
-def _exp_slots(meta, man_off):
-    """Build [L, S, 7, 86] bit offsets + widths for the exponent fields.
+def _exp_slots(meta, man_off, plan: RowPlan):
+    """Build [L, S, R, 86] bit offsets + widths for the exponent fields.
 
     Inactive slots are filled with a nearby active offset (forward fill,
     leading slots from the block's first field) so every 128-slot tile
     stays inside its 512-byte gather window."""
-    exp_off = meta["exp_off"][..., _STREAM2LOGICAL]     # [L, S, 7] stream rows
-    ngrps = meta["ngrps"][..., _STREAM2LOGICAL]
+    s2l = np.asarray(plan.s2l, np.int32)
+    rows7 = np.asarray(plan.rows, np.int32)
+    exp_off = meta["exp_off"][..., rows7][..., s2l]      # [L, S, R] stream
+    ngrps = meta["ngrps"][..., rows7][..., s2l]
+    R = plan.R
     active_row = exp_off >= 0
-    g = jnp.arange(EXP_ROW_SLOTS, dtype=jnp.int32)      # slot in row
+    g = jnp.arange(EXP_ROW_SLOTS, dtype=jnp.int32)       # slot in row
     # slot offsets: abs at +0 (4 bits), group k at +4 + 7k
     offs = exp_off[..., None] + jnp.where(g == 0, 0, 4 + 7 * (g - 1))
     widths = jnp.where(g == 0, 4, 7)
@@ -151,16 +252,16 @@ def _exp_slots(meta, man_off):
     widths = jnp.where(live, widths, 0)
 
     L, S = exp_off.shape[:2]
-    flat_o = offs.reshape(L, S, 7 * EXP_ROW_SLOTS)
-    flat_l = live.reshape(L, S, 7 * EXP_ROW_SLOTS)
+    flat_o = offs.reshape(L, S, R * EXP_ROW_SLOTS)
+    flat_l = live.reshape(L, S, R * EXP_ROW_SLOTS)
     # forward fill inactive offsets, leading from the first active (or
     # man_off when the block has no exponent fields at all)
     fwd = jax.lax.cummax(jnp.where(flat_l, flat_o, -1), axis=2)
     first = jnp.min(jnp.where(flat_l, flat_o, jnp.int32(1 << 30)), axis=2)
     first = jnp.where(first == (1 << 30), man_off, first)
     filled = jnp.where(fwd < 0, first[..., None], fwd)
-    filled = filled.reshape(L, S, 7, EXP_ROW_SLOTS)
-    widths = widths.reshape(L, S, 7, EXP_ROW_SLOTS)
+    filled = filled.reshape(L, S, R, EXP_ROW_SLOTS)
+    widths = widths.reshape(L, S, R, EXP_ROW_SLOTS)
     return filled, widths
 
 
@@ -180,49 +281,56 @@ def _interleave(deltas, fan: int, lead: int):
     return d[..., :256]
 
 
-def decode_exponents(codes, meta):
-    """codes [L, S, 7, 86] (stream-row order) -> exp_new [L, S, 7, 256]
-    int32 in LOGICAL row order (fbw0..4, cpl, lfe).  Rows without new
-    exponents hold garbage -- resolved by the setter gather."""
-    absexp = codes[..., 0]                               # [L, S, 7]
-    gc = codes[..., 1:]                                  # [L, S, 7, 85]
+def decode_exponents(codes, meta, plan: RowPlan):
+    """codes [L, S, R, 86] (stream-row order) -> exp_new [L, S, R, 256]
+    int32 in ACTIVE row order (fbw0..nfch-1[, cpl][, lfe]).  Rows without
+    new exponents hold garbage -- resolved by the setter gather."""
+    s2l = np.asarray(plan.s2l, np.int32)
+    rows7 = np.asarray(plan.rows, np.int32)
+    R = plan.R
+    absexp = codes[..., 0]                               # [L, S, R]
+    gc = codes[..., 1:]                                  # [L, S, R, 85]
     d1 = gc // 25 - 2
     d2 = (gc % 25) // 5 - 2
     d3 = gc % 5 - 2
     deltas = jnp.stack([d1, d2, d3], axis=-1).reshape(
-        gc.shape[:-1] + (255,))                          # [L, S, 7, 255]
-    ngrps = meta["ngrps"][..., _STREAM2LOGICAL]
+        gc.shape[:-1] + (255,))                          # [L, S, R, 255]
+    ngrps = meta["ngrps"][..., rows7][..., s2l]
     j = jnp.arange(255, dtype=jnp.int32)
     deltas = jnp.where((j // 3) < ngrps[..., None], deltas, 0)
 
-    expstr = meta["expstr"][..., _STREAM2LOGICAL]        # [L, S, 7]
+    expstr = meta["expstr"][..., rows7][..., s2l]        # [L, S, R]
     # fbw/lfe rows: first delta lands at bin 1 (bin 0 = absexp)
     v_fbw = [_interleave(deltas, f, 1) for f in (1, 2, 4)]
-    # cpl row: first delta lands at bin cplstrt; base = absexp << 1
-    v_cpl0 = [_interleave(deltas, f, 0) for f in (1, 2, 4)]
-
     es = expstr[..., None]
-    dbins_fbw = jnp.where(es == 1, v_fbw[0],
-                          jnp.where(es == 2, v_fbw[1], v_fbw[2]))
-    dbins_cpl0 = jnp.where(es == 1, v_cpl0[0],
-                           jnp.where(es == 2, v_cpl0[1], v_cpl0[2]))
-    # shift the cpl row to its start bin: 16 static shifts selected by
-    # cplbegf (gather-free; XLA fuses the where chain)
-    cplbegf = (meta["cplstrt"] - 37) // 12               # [L, S]
-    row_cpl0 = dbins_cpl0[..., 0, :]                     # stream row 0 = cpl
-    shifted = jnp.zeros_like(row_cpl0)
-    for a in range(16):
-        st = 37 + 12 * a
-        sh = jnp.concatenate(
-            [jnp.zeros(row_cpl0.shape[:-1] + (st,), row_cpl0.dtype),
-             row_cpl0[..., : 256 - st]], axis=-1)
-        shifted = jnp.where((cplbegf == a)[..., None], sh, shifted)
-    dbins = dbins_fbw.at[..., 0, :].set(shifted)
+    dbins = jnp.where(es == 1, v_fbw[0],
+                      jnp.where(es == 2, v_fbw[1], v_fbw[2]))
+    if plan.has_cpl:
+        # cpl row (stream row 0): first delta lands at bin cplstrt;
+        # base = absexp << 1
+        v_cpl0 = [_interleave(deltas[..., 0, :], f, 0) for f in (1, 2, 4)]
+        es0 = expstr[..., 0, None]
+        row_cpl0 = jnp.where(es0 == 1, v_cpl0[0],
+                             jnp.where(es0 == 2, v_cpl0[1], v_cpl0[2]))
+        # shift the cpl row to its start bin: 16 static shifts selected by
+        # cplbegf (gather-free; XLA fuses the where chain)
+        cplbegf = (meta["cplstrt"] - 37) // 12           # [L, S]
+        shifted = jnp.zeros_like(row_cpl0)
+        for a in range(16):
+            st = 37 + 12 * a
+            sh = jnp.concatenate(
+                [jnp.zeros(row_cpl0.shape[:-1] + (st,), row_cpl0.dtype),
+                 row_cpl0[..., : 256 - st]], axis=-1)
+            shifted = jnp.where((cplbegf == a)[..., None], sh, shifted)
+        dbins = dbins.at[..., 0, :].set(shifted)
+        base = jnp.where(jnp.arange(R) == 0, absexp << 1, absexp)
+    else:
+        base = absexp
 
-    base = jnp.where(jnp.arange(7) == 0, absexp << 1, absexp)
     exps = base[..., None] + jnp.cumsum(dbins, axis=-1)
-    # reorder stream rows -> logical rows
-    return exps[..., _LOGICAL2STREAM, :]
+    # reorder stream rows -> active rows
+    l2s = np.asarray(plan.l2s, np.int32)
+    return exps[..., l2s, :]
 
 
 def resolve_setters(new_vals, set_mask, carry):
@@ -240,29 +348,35 @@ def resolve_setters(new_vals, set_mask, carry):
     return out, out[:, -1]
 
 
-def unpack_exponents(frames_u8, meta, carry_exp):
+def unpack_exponents(frames_u8, meta, carry_exp, plan: RowPlan = None):
     """frames_u8 [L, F, MB] uint8 + meta [L, S=6F, ...] -> resolved
-    exponents [L, S, 7, 256] int32 (logical rows) + new carry."""
+    exponents [L, S, R, 256] int32 (active rows) + new carry rows
+    [L, R, 256].  With the default all-features plan R = 7 and rows are
+    the fixed logical order (fbw0..4, cpl, lfe)."""
+    if plan is None:
+        plan = plan_from_meta(meta)
     L, F, MB = frames_u8.shape
     S = 6 * F
-    offs, widths = _exp_slots(meta, meta["man_off"])     # [L, S, 7, 86]
-    offs = offs.reshape(L, S, 7 * EXP_ROW_SLOTS)
-    widths = widths.reshape(L, S, 7 * EXP_ROW_SLOTS)
-    pad = EXP_BLOCK_SLOTS - 7 * EXP_ROW_SLOTS
-    offs = jnp.concatenate(
-        [offs, jnp.broadcast_to(offs[..., -1:], (L, S, pad))], axis=-1)
-    widths = jnp.concatenate(
-        [widths, jnp.zeros((L, S, pad), jnp.int32)], axis=-1)
+    R = plan.R
+    offs, widths = _exp_slots(meta, meta["man_off"], plan)
+    offs = offs.reshape(L, S, R * EXP_ROW_SLOTS)
+    widths = widths.reshape(L, S, R * EXP_ROW_SLOTS)
+    pad = plan.exp_block_slots - R * EXP_ROW_SLOTS
+    if pad:
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(offs[..., -1:], (L, S, pad))], axis=-1)
+        widths = jnp.concatenate(
+            [widths, jnp.zeros((L, S, pad), jnp.int32)], axis=-1)
     codes = extract_fields(
         frames_u8.reshape(L * F, MB),
-        offs.reshape(L, F, 6 * EXP_BLOCK_SLOTS).reshape(
-            L * F, 6 * EXP_BLOCK_SLOTS),
-        widths.reshape(L * F, 6 * EXP_BLOCK_SLOTS))
-    codes = codes.reshape(L, S, EXP_BLOCK_SLOTS)[..., : 7 * EXP_ROW_SLOTS]
-    codes = codes.reshape(L, S, 7, EXP_ROW_SLOTS)
-    exp_new = decode_exponents(codes, meta)              # [L, S, 7, 256]
-    set_mask = meta["exp_off"] >= 0                      # logical rows
-    return resolve_setters(exp_new, set_mask, carry_exp)
+        offs.reshape(L * F, 6 * plan.exp_block_slots),
+        widths.reshape(L * F, 6 * plan.exp_block_slots))
+    codes = codes.reshape(L, S, plan.exp_block_slots)[..., : R * EXP_ROW_SLOTS]
+    codes = codes.reshape(L, S, R, EXP_ROW_SLOTS)
+    exp_new = decode_exponents(codes, meta, plan)        # [L, S, R, 256]
+    rows7 = np.asarray(plan.rows, np.int32)
+    set_mask = meta["exp_off"][..., rows7] >= 0          # active rows
+    return resolve_setters(exp_new, set_mask, carry_exp[:, rows7])
 
 
 def init_unpack_carry(L: int) -> dict:
@@ -301,25 +415,34 @@ def _hth_row(fscod, halfrate):
     return out
 
 
-def allocate_rows(exp, meta):
-    """exp [L, S, 7, 256] (logical rows) + meta -> bap [L, S, 7, 256] i8.
+def allocate_rows(exp, meta, plan: RowPlan = None):
+    """exp [L, S, R, 256] (active rows) + meta -> bap [L, S, R, 256] i8.
 
     Recomputes a52_bit_allocate for every (block, row) from the resolved
     side-info; identical inputs to liba52's cached calls give identical
     outputs, so recompute-always needs no do_bit_alloc tracking."""
+    if plan is None:
+        plan = plan_from_meta(meta)
     L, S = exp.shape[:2]
-    nrow = 7
-    endm = meta["endmant"]                               # [L, S, 5]
-    has_cpl = meta["chincpl"] != 0
-    lfeon = meta["lfeon"] != 0
-    start = jnp.concatenate([
-        jnp.zeros((L, S, 5), jnp.int32),
-        meta["cplstrt"][..., None],
-        jnp.zeros((L, S, 1), jnp.int32)], axis=-1)
-    end = jnp.concatenate([
-        endm,
-        jnp.where(has_cpl, meta["cplend"], 0)[..., None],
-        jnp.where(lfeon, 7, 0)[..., None]], axis=-1)
+    nfch = plan.nfch
+    endm = meta["endmant"][..., :nfch]                   # [L, S, nfch]
+    zerocol = jnp.zeros((L, S, 1), jnp.int32)
+    start = [jnp.zeros((L, S, nfch), jnp.int32)]
+    end = [endm]
+    rbai = [meta["babai"][..., :nfch]]
+    if plan.has_cpl:
+        has_cpl = meta["chincpl"] != 0
+        start.append(meta["cplstrt"][..., None])
+        end.append(jnp.where(has_cpl, meta["cplend"], 0)[..., None])
+        rbai.append(meta["cplbai"][..., None])
+    if plan.has_lfe:
+        lfeon = meta["lfeon"] != 0
+        start.append(zerocol)
+        end.append(jnp.where(lfeon, 7, 0)[..., None])
+        rbai.append(meta["lfebai"][..., None])
+    start = jnp.concatenate(start, axis=-1)              # [L, S, R]
+    end = jnp.concatenate(end, axis=-1)
+    rbai = jnp.concatenate(rbai, axis=-1)
 
     bai = meta["bai"]
     hr = meta["halfrate"]
@@ -329,15 +452,13 @@ def allocate_rows(exp, meta):
     dbknee = _select8(T.DBKNEETAB, (bai >> 3) & 3)
     floor = _select8(T.FLOORTAB, bai & 7)
 
-    rbai = jnp.concatenate([meta["babai"], meta["cplbai"][..., None],
-                            meta["lfebai"][..., None]], axis=-1)  # [L,S,7]
     snro = (((meta["csnroffst"][..., None] - 15) << 4) + (rbai >> 3)) << 2
     fgain = _select8(T.FGAINTAB, rbai & 7)
 
     bins = jnp.arange(256, dtype=jnp.int32)
     live = (bins >= start[..., None]) & (bins < end[..., None])
     psd = jnp.where(live, 3072 - (exp << 7), _BIG_NEG)
-    bndpsd = A.band_psd(psd, end)                        # [L, S, 7, 50]
+    bndpsd = A.band_psd(psd, end)                        # [L, S, R, 50]
 
     hth = _hth_row(meta["fscod"], hr)[..., None, :]      # [L, S, 1, 50]
 
@@ -345,32 +466,43 @@ def allocate_rows(exp, meta):
         return x[..., None]                              # add row axis
 
     # full-bandwidth + lfe rows
-    is_lfe = jnp.arange(nrow) == 6
+    is_lfe = (jnp.arange(plan.R) == plan.lfe) if plan.has_lfe \
+        else jnp.zeros((plan.R,), bool)
     exc_f = A.excitation(bndpsd, fgain,
                          bcast(sgain), bcast(fdecay), bcast(sdecay),
                          is_lfe & True)
-    # coupling row (leak-init variant)
-    exc_c = A.excitation(bndpsd[..., 5, :], fgain[..., 5],
-                         sgain, fdecay, sdecay,
-                         jnp.zeros(sgain.shape, bool),
-                         bndstrt=meta["cplstrtbnd"],
-                         cplfleak=meta["cplfleak"],
-                         cplsleak=meta["cplsleak"])
-    excite = exc_f.at[..., 5, :].set(exc_c)
+    if plan.has_cpl:
+        # coupling row (leak-init variant)
+        c = plan.cpl
+        exc_c = A.excitation(bndpsd[..., c, :], fgain[..., c],
+                             sgain, fdecay, sdecay,
+                             jnp.zeros(sgain.shape, bool),
+                             bndstrt=meta["cplstrtbnd"],
+                             cplfleak=meta["cplfleak"],
+                             cplsleak=meta["cplsleak"])
+        excite = exc_f.at[..., c, :].set(exc_c)
+    else:
+        excite = exc_f
 
+    deltba = meta.get("deltba")
+    if deltba is not None:
+        deltba = deltba[..., np.asarray(plan.rows, np.int32), :]
     mask = A.masking_curve(bndpsd, excite, bcast(dbknee)[..., None], hth,
-                           deltba=meta.get("deltba"))
+                           deltba=deltba)
     bap = A.bap_from_mask(psd, mask, snro[..., None],
                           bcast(floor)[..., None], start, end)
 
     # zero-SNR shortcut (parse.c:296-308): all baps zero for the block.
     # endmant is zeroed for channels >= nfchans (parse.py), so endmant > 0
     # is exactly "i < nfchans".
-    fbw_live = meta["endmant"] > 0
+    fbw_live = endm > 0
     zero = (meta["csnroffst"] == 0)
-    zero &= ~(has_cpl & ((meta["cplbai"] >> 3) != 0))
-    zero &= ~(lfeon & ((meta["lfebai"] >> 3) != 0))
-    zero &= jnp.all(~fbw_live | ((meta["babai"] >> 3) == 0), axis=-1)
+    if plan.has_cpl:
+        zero &= ~(has_cpl & ((meta["cplbai"] >> 3) != 0))
+    if plan.has_lfe:
+        zero &= ~(lfeon & ((meta["lfebai"] >> 3) != 0))
+    zero &= jnp.all(~fbw_live
+                    | ((meta["babai"][..., :nfch] >> 3) == 0), axis=-1)
     bap = jnp.where(zero[..., None, None], 0, bap)
     return bap
 
@@ -473,7 +605,7 @@ def unpack_cplco(frames_u8, meta, carry_cplco):
 # stage 4: mantissa lattice -> dequantized frequency planes
 # ---------------------------------------------------------------------------
 
-SEG = 2688                   # 5 x (fbw 256 + cpl 256) + lfe 128 per block
+SEG = 2688                   # full-plan slots: 5 x (fbw 256 + cpl 256) + 128
 
 # quantizer level tables (liba52 tables.h Q(x) values; small, used as
 # where-chains -- no gathers)
@@ -508,20 +640,26 @@ def _dither_orbit_bytes() -> np.ndarray:
     return np.frombuffer(doubled.tobytes(), np.uint8)
 
 
-def _first_cpl(chincpl):
+def _first_cpl(chincpl, nfch):
     """Index of the lowest set bit (first coupled channel)."""
     fc = jnp.zeros(chincpl.shape, jnp.int32)
-    for i in range(4, -1, -1):
+    for i in range(nfch - 1, -1, -1):
         fc = jnp.where((chincpl >> i) & 1, i, fc)
     return fc
 
 
-def _interleave_rows(fbw, cpl, lfe):
-    """[..., 5, 256] + [..., 256] + [..., 128] -> [..., SEG] slot layout."""
-    cplb = jnp.broadcast_to(cpl[..., None, :], fbw.shape)
-    inter = jnp.stack([fbw, cplb], axis=-2)              # [..., 5, 2, 256]
-    main = inter.reshape(fbw.shape[:-2] + (2560,))
-    return jnp.concatenate([main, lfe], axis=-1)
+def _lattice(fbw, cpl, lfe, plan: RowPlan):
+    """[..., nfch, 256] (+ [..., 256] cpl + [..., 128] lfe when live)
+    -> [..., seg] slot layout in coded order."""
+    if plan.has_cpl:
+        cplb = jnp.broadcast_to(cpl[..., None, :], fbw.shape)
+        inter = jnp.stack([fbw, cplb], axis=-2)          # [..., nfch, 2, 256]
+        main = inter.reshape(fbw.shape[:-2] + (plan.nfch * 512,))
+    else:
+        main = fbw.reshape(fbw.shape[:-2] + (plan.nfch * 256,))
+    if plan.has_lfe:
+        main = jnp.concatenate([main, lfe], axis=-1)
+    return main
 
 
 def _cpl_band_index(meta):
@@ -536,37 +674,62 @@ def _cpl_band_index(meta):
     return sub - merged
 
 
-def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos):
+def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
+                     plan: RowPlan = None):
     """The coded-order lattice: widths -> offsets -> codes -> (q, a, b).
 
-    Returns (freq [L, S, 6, 256] f32, new_dpos [L]).  freq is
-    bit-identical to the host pre-pass's (q*a)*b (parse.c:321-556)."""
+    exp/bap [L, S, R, 256] in active-row order; cplco [L, S, 5, 18] (or
+    None when the plan has no coupling).  Returns (freq [L, S, 6, 256]
+    f32, new_dpos [L]).  freq rows are the fixed 5 fbw planes + LFE;
+    rows beyond the plan are zero.  freq is bit-identical to the host
+    pre-pass's (q*a)*b (parse.c:321-556)."""
+    if plan is None:
+        plan = plan_from_meta(meta)
     L, F, MB = frames_u8.shape
     S = 6 * F
+    nfch = plan.nfch
+    seg = plan.seg
     bins = jnp.arange(256, dtype=jnp.int32)
     bap = bap.astype(jnp.int32)
 
-    endm = meta["endmant"]                               # [L, S, 5]
-    fc = _first_cpl(meta["chincpl"])
-    has_cpl = meta["chincpl"] != 0
-    cpl_base = has_cpl[..., None] & (bins >= meta["cplstrt"][..., None]) \
-        & (bins < meta["cplend"][..., None])             # [L, S, 256]
-    fbw_act = bins < endm[..., None]                     # [L, S, 5, 256]
-    ch5 = jnp.arange(5, dtype=jnp.int32)
-    cpl_act = cpl_base[..., None, :] & (ch5[:, None] == fc[..., None, None])
-    lfe_act = (meta["lfeon"][..., None] != 0) & \
-        (jnp.arange(128) < 7)                            # [L, S, 128]
+    endm = meta["endmant"][..., :nfch]                   # [L, S, nfch]
+    fbw_act = bins < endm[..., None]                     # [L, S, nfch, 256]
+    chN = jnp.arange(nfch, dtype=jnp.int32)
+    if plan.has_cpl:
+        fc = _first_cpl(meta["chincpl"], nfch)
+        has_cpl = meta["chincpl"] != 0
+        cpl_base = has_cpl[..., None] \
+            & (bins >= meta["cplstrt"][..., None]) \
+            & (bins < meta["cplend"][..., None])         # [L, S, 256]
+        # cpl activity differs per channel slot (only the first coupled
+        # channel's walk consumes coupling mantissas)
+        cpl_act = cpl_base[..., None, :] \
+            & (chN[:, None] == fc[..., None, None])
+        bap_cpl = bap[..., plan.cpl, :]
+        exp_cpl = exp[..., plan.cpl, :]
+    else:
+        cpl_act = None
+        bap_cpl = exp_cpl = None
+    if plan.has_lfe:
+        lfe_act = (meta["lfeon"][..., None] != 0) & \
+            (jnp.arange(128) < 7)                        # [L, S, 128]
+        bap_lfe = bap[..., plan.lfe, :128]
+        exp_lfe = exp[..., plan.lfe, :128]
+    else:
+        lfe_act = bap_lfe = exp_lfe = None
 
-    # cpl activity differs per channel slot (only the first coupled
-    # channel's walk consumes coupling mantissas), so interleave manually
-    inter_act = jnp.stack([fbw_act, cpl_act], axis=-2).reshape(L, S, 2560)
-    act = jnp.concatenate(
-        [inter_act, lfe_act], axis=-1)                   # [L, S, SEG]
+    # cpl activity is per channel slot (only the first coupled channel's
+    # walk consumes coupling mantissas), so the act lattice interleaves
+    # manually rather than via _lattice's shared-row broadcast
+    if plan.has_cpl:
+        inter_act = jnp.stack(
+            [fbw_act, cpl_act], axis=-2).reshape(L, S, nfch * 512)
+    else:
+        inter_act = fbw_act.reshape(L, S, nfch * 256)
+    act = jnp.concatenate([inter_act, lfe_act], axis=-1) \
+        if plan.has_lfe else inter_act
 
-    bap_s = _interleave_rows(bap[..., :5, :], bap[..., 5, :],
-                             bap[..., 6, :128])
-    exp_s = _interleave_rows(exp[..., :5, :], exp[..., 5, :],
-                             exp[..., 6, :128])
+    bap_s = _lattice(bap[..., :nfch, :], bap_cpl, bap_lfe, plan)
     b = jnp.where(act, bap_s, 0)
 
     def excl(x):
@@ -589,12 +752,12 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos):
 
     codes = extract_fields(
         frames_u8.reshape(L * F, MB),
-        offsets.reshape(L * F, 6 * SEG),
-        w.reshape(L * F, 6 * SEG)).reshape(L, S, SEG)
+        offsets.reshape(L * F, 6 * seg),
+        w.reshape(L * F, 6 * seg)).reshape(L, S, seg)
 
     # grouped-class leader propagation (quantizer_set_t carries,
     # parse.c:43-50): forward-fill the leader's code along the lattice
-    slot_no = jnp.arange(SEG, dtype=jnp.int32)
+    slot_no = jnp.arange(seg, dtype=jnp.int32)
 
     def leader(reads):
         pk = jnp.where(reads, (slot_no << 7) | codes, -1)
@@ -624,109 +787,141 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos):
     # index past the level ladder, so those slots fall through to 0.
 
     # --- dither ordinals (LFSR draw positions, parse.c:310-319) -----------
-    dith = meta["dith"]                                  # [L, S, 5]
-    dith_fbw = (dith != 0)[..., None] & fbw_act & \
-        (bap[..., :5, :] == 0)                           # [L, S, 5, 256]
-    cpl_dmask = jnp.sum(
-        jnp.where((dith != 0)
-                  & (((meta["chincpl"][..., None] >> ch5) & 1) != 0),
-                  jnp.int32(1) << ch5, 0), axis=-1)      # [L, S]
-    ndith = jnp.zeros(cpl_dmask.shape, jnp.int32)
-    for i in range(5):
-        ndith += (cpl_dmask >> i) & 1
-    draws_fbw = dith_fbw.astype(jnp.int32)
-    draws_cpl = jnp.where(cpl_act & (bap[..., 5:6, :] == 0),
-                          ndith[..., None, None], 0)
-    draws = jnp.stack([draws_fbw, draws_cpl], axis=-2).reshape(L, S, 2560)
-    draws = jnp.concatenate(
-        [draws, jnp.zeros((L, S, 128), jnp.int32)], axis=-1)
-    ordx = excl(draws)
-    tot = jnp.sum(draws, axis=-1)                        # [L, S]
-    base = carry_dpos[:, None] + jnp.cumsum(tot, axis=1) - tot
-    abs_ord = base[..., None] + ordx                     # [L, S, SEG]
-    new_dpos = base[:, -1] + tot[:, -1]
+    if plan.has_dith:
+        dith = meta["dith"][..., :nfch]                  # [L, S, nfch]
+        dith_fbw = (dith != 0)[..., None] & fbw_act & \
+            (bap[..., :nfch, :] == 0)                    # [L, S, nfch, 256]
+        draws_fbw = dith_fbw.astype(jnp.int32)
+        if plan.has_cpl:
+            cpl_dmask = jnp.sum(
+                jnp.where((dith != 0)
+                          & (((meta["chincpl"][..., None] >> chN) & 1) != 0),
+                          jnp.int32(1) << chN, 0), axis=-1)  # [L, S]
+            ndith = jnp.zeros(cpl_dmask.shape, jnp.int32)
+            for i in range(nfch):
+                ndith += (cpl_dmask >> i) & 1
+            draws_cpl = jnp.where(cpl_act & (bap_cpl[..., None, :] == 0),
+                                  ndith[..., None, None], 0)
+            draws = jnp.stack([draws_fbw, draws_cpl],
+                              axis=-2).reshape(L, S, nfch * 512)
+        else:
+            draws = draws_fbw.reshape(L, S, nfch * 256)
+        if plan.has_lfe:
+            draws = jnp.concatenate(
+                [draws, jnp.zeros((L, S, 128), jnp.int32)], axis=-1)
+        ordx = excl(draws)
+        tot = jnp.sum(draws, axis=-1)                    # [L, S]
+        base = carry_dpos[:, None] + jnp.cumsum(tot, axis=1) - tot
+        abs_ord = base[..., None] + ordx                 # [L, S, seg]
+        new_dpos = base[:, -1] + tot[:, -1]
 
-    # dither gather lattice: fbw bins (rank 0) then cpl bin-major x rank
-    view = abs_ord[..., :2560].reshape(L, S, 5, 2, 256)
-    ord_fbw = view[..., 0, :]                            # [L, S, 5, 256]
-    ord_cpl = jnp.sum(
-        jnp.where(ch5[:, None] == fc[..., None, None],
-                  view[..., 1, :], 0), axis=-2)          # [L, S, 256]
-    rank5 = jnp.arange(5, dtype=jnp.int32)
-    # clamp unused ranks (>= ndith) to the last live draw: keeps the
-    # tile span tight for the windowed gather (tiles window off their
-    # min offset; the span must stay within the window)
-    rmax = jnp.maximum(ndith - 1, 0)[..., None, None]    # [L, S, 1, 1]
-    d_off = jnp.concatenate(
-        [ord_fbw.reshape(L, S, 1280),
-         (ord_cpl[..., None] + jnp.minimum(rank5, rmax)).reshape(
-             L, S, 1280)], axis=-1)
-    d_off = d_off.reshape(L * F, 6 * 2560)
-    # per-tile wrap rebase into the doubled orbit table (tile MIN keeps
-    # every rebased entry nonnegative under the rank-lattice sawtooth)
-    Td = d_off.shape[1] // 128
-    d_t = d_off.reshape(-1, Td, 128)
-    tmin = d_t.min(axis=-1, keepdims=True)
-    d_t = ((tmin % 65535) + (d_t - tmin)) * 16
-    states = extract_fields_shared(
-        jnp.asarray(_dither_orbit_bytes()),
-        d_t.reshape(L * F, 6 * 2560)).reshape(L, S, 2560)
-    st = states - ((states >> 15) << 16)                 # int16 view
-    dval = ((3 * st) >> 2).astype(jnp.float32)
-    dv_fbw = dval[..., :1280].reshape(L, S, 5, 256)
-    dv_cpl = dval[..., 1280:].reshape(L, S, 256, 5)      # [.., bin, rank]
+        # dither gather lattice: fbw bins (rank 0) then cpl bin-major x rank
+        if plan.has_cpl:
+            view = abs_ord[..., : nfch * 512].reshape(L, S, nfch, 2, 256)
+            ord_fbw = view[..., 0, :]                    # [L, S, nfch, 256]
+            ord_cpl = jnp.sum(
+                jnp.where(chN[:, None] == fc[..., None, None],
+                          view[..., 1, :], 0), axis=-2)  # [L, S, 256]
+            rankN = jnp.arange(nfch, dtype=jnp.int32)
+            # clamp unused ranks (>= ndith) to the last live draw: keeps
+            # the tile span tight for the windowed gather (tiles window
+            # off their min offset; the span must stay in the window)
+            rmax = jnp.maximum(ndith - 1, 0)[..., None, None]
+            d_off = jnp.concatenate(
+                [ord_fbw.reshape(L, S, nfch * 256),
+                 (ord_cpl[..., None] + jnp.minimum(rankN, rmax)).reshape(
+                     L, S, nfch * 256)], axis=-1)
+            dseg = 2 * nfch * 256
+        else:
+            d_off = abs_ord[..., : nfch * 256]
+            dseg = nfch * 256
+        d_off = d_off.reshape(L * F, 6 * dseg)
+        # per-tile wrap rebase into the doubled orbit table (tile MIN
+        # keeps every rebased entry nonnegative under the rank-lattice
+        # sawtooth)
+        Td = d_off.shape[1] // 128
+        d_t = d_off.reshape(-1, Td, 128)
+        tmin = d_t.min(axis=-1, keepdims=True)
+        d_t = ((tmin % 65535) + (d_t - tmin)) * 16
+        states = extract_fields_shared(
+            jnp.asarray(_dither_orbit_bytes()),
+            d_t.reshape(L * F, 6 * dseg)).reshape(L, S, dseg)
+        st = states - ((states >> 15) << 16)             # int16 view
+        dval = ((3 * st) >> 2).astype(jnp.float32)
+        dv_fbw = dval[..., : nfch * 256].reshape(L, S, nfch, 256)
+        if plan.has_cpl:
+            dv_cpl = dval[..., nfch * 256:].reshape(L, S, 256, nfch)
+    else:
+        dith_fbw = jnp.zeros((L, S, nfch, 256), bool)
+        dv_fbw = jnp.zeros((L, S, nfch, 256), jnp.float32)
+        new_dpos = carry_dpos
 
     # --- assembly: (q, a, b) per channel/bin -------------------------------
-    qmain = qv[..., :2560].reshape(L, S, 5, 2, 256)
-    q_fbw = qmain[..., 0, :]                             # [L, S, 5, 256]
-    q_cpl = jnp.sum(jnp.where(ch5[:, None] == fc[..., None, None],
-                              qmain[..., 1, :], 0), axis=-2)  # [L, S, 256]
-    e_fbw = exp[..., :5, :]
-    e_cpl = exp[..., 5, :]
+    if plan.has_cpl:
+        qmain = qv[..., : nfch * 512].reshape(L, S, nfch, 2, 256)
+        q_fbw = qmain[..., 0, :]                         # [L, S, nfch, 256]
+        q_cpl = jnp.sum(jnp.where(chN[:, None] == fc[..., None, None],
+                                  qmain[..., 1, :], 0),
+                        axis=-2)                         # [L, S, 256]
+    else:
+        q_fbw = qv[..., : nfch * 256].reshape(L, S, nfch, 256)
+    e_fbw = exp[..., :nfch, :]
 
-    coeff = meta["coeff"]                                # [L, S, 5] f32
-    b_fbw = bap[..., :5, :]
+    coeff = meta["coeff"][..., :nfch]                    # [L, S, nfch] f32
+    b_fbw = bap[..., :nfch, :]
     a_fbw = jnp.ldexp(coeff[..., None], -(e_fbw + 15))
     val_fbw = jnp.where(b_fbw == 0, jnp.where(dith_fbw, dv_fbw, 0.0),
                         q_fbw)
     freq_fbw = jnp.where(fbw_act & ((b_fbw != 0) | dith_fbw),
                          val_fbw * a_fbw, 0.0)
 
-    # coupling: shared mantissa scattered into each coupled channel
-    bnd = _cpl_band_index(meta)                          # [L, S, 256]
-    cprod = cplco * coeff[..., None]                     # MUL_L per ch
-    cpl_bin = jnp.zeros((L, S, 5, 256), jnp.float32)
-    for bb in range(18):
-        cpl_bin = jnp.where((bnd == bb)[..., None, :],
-                            cprod[..., bb:bb + 1], cpl_bin)
-    coupled = (((meta["chincpl"][..., None] >> ch5) & 1) != 0)  # [L,S,5]
-    b_cpl = bap[..., 5, :]                               # [L, S, 256]
-    dith_c = coupled & (dith != 0)                       # [L, S, 5]
-    rank = jnp.zeros((L, S, 5), jnp.int32)
-    for i in range(5):
-        rank += jnp.where(ch5 > i, (cpl_dmask[..., None] >> i) & 1, 0)
-    dv_ch = jnp.zeros((L, S, 5, 256), jnp.float32)
-    for r in range(5):
-        dv_ch = jnp.where((rank == r)[..., None],
-                          dv_cpl[..., r][..., None, :], dv_ch)
-    sf_cpl = jnp.ldexp(jnp.ones((), jnp.float32), -(e_cpl + 15))
-    nd = (q_cpl * sf_cpl)[..., None, :] * cpl_bin        # (v*sf)*cplco
-    dd = dv_ch * jnp.ldexp(cpl_bin, -(e_cpl[..., None, :] + 15))
-    contrib = jnp.where((b_cpl != 0)[..., None, :], nd,
-                        jnp.where(dith_c[..., None], dd, 0.0))
-    in_cpl = cpl_base[..., None, :] & coupled[..., None]
-    freq_fbw = jnp.where(in_cpl, contrib, freq_fbw)
+    if plan.has_cpl:
+        # coupling: shared mantissa scattered into each coupled channel
+        e_cpl = exp_cpl
+        bnd = _cpl_band_index(meta)                      # [L, S, 256]
+        cprod = cplco[..., :nfch, :] * coeff[..., None]  # MUL_L per ch
+        cpl_bin = jnp.zeros((L, S, nfch, 256), jnp.float32)
+        for bb in range(18):
+            cpl_bin = jnp.where((bnd == bb)[..., None, :],
+                                cprod[..., bb:bb + 1], cpl_bin)
+        coupled = (((meta["chincpl"][..., None] >> chN) & 1) != 0)
+        b_cpl = bap_cpl                                  # [L, S, 256]
+        if plan.has_dith:
+            dith_c = coupled & (meta["dith"][..., :nfch] != 0)
+            rank = jnp.zeros((L, S, nfch), jnp.int32)
+            for i in range(nfch):
+                rank += jnp.where(chN > i, (cpl_dmask[..., None] >> i) & 1,
+                                  0)
+            dv_ch = jnp.zeros((L, S, nfch, 256), jnp.float32)
+            for r in range(nfch):
+                dv_ch = jnp.where((rank == r)[..., None],
+                                  dv_cpl[..., r][..., None, :], dv_ch)
+            dd = dv_ch * jnp.ldexp(cpl_bin, -(e_cpl[..., None, :] + 15))
+        else:
+            dith_c = jnp.zeros((L, S, nfch), bool)
+            dd = jnp.zeros((L, S, nfch, 256), jnp.float32)
+        sf_cpl = jnp.ldexp(jnp.ones((), jnp.float32), -(e_cpl + 15))
+        nd = (q_cpl * sf_cpl)[..., None, :] * cpl_bin    # (v*sf)*cplco
+        contrib = jnp.where((b_cpl != 0)[..., None, :], nd,
+                            jnp.where(dith_c[..., None], dd, 0.0))
+        in_cpl = cpl_base[..., None, :] & coupled[..., None]
+        freq_fbw = jnp.where(in_cpl, contrib, freq_fbw)
 
-    # LFE
-    q_lfe = qv[..., 2560:]                               # [L, S, 128]
-    e_lfe = exp[..., 6, :128]
-    a_lfe = jnp.ldexp(meta["lfe_scale"][..., None], -(e_lfe + 15))
-    b_lfe = bap[..., 6, :128]
-    lfe_vals = jnp.where(lfe_act & (b_lfe != 0)
-                         & (meta["lfe_out"][..., None] != 0),
-                         q_lfe * a_lfe, 0.0)
-    freq_lfe = jnp.concatenate(
-        [lfe_vals, jnp.zeros((L, S, 128), jnp.float32)], axis=-1)
+    if nfch < 5:
+        freq_fbw = jnp.concatenate(
+            [freq_fbw, jnp.zeros((L, S, 5 - nfch, 256), jnp.float32)],
+            axis=-2)
+
+    if plan.has_lfe:
+        q_lfe = qv[..., seg - 128:]                      # [L, S, 128]
+        a_lfe = jnp.ldexp(meta["lfe_scale"][..., None], -(exp_lfe + 15))
+        lfe_vals = jnp.where(lfe_act & (bap_lfe != 0)
+                             & (meta["lfe_out"][..., None] != 0),
+                             q_lfe * a_lfe, 0.0)
+        freq_lfe = jnp.concatenate(
+            [lfe_vals, jnp.zeros((L, S, 128), jnp.float32)], axis=-1)
+    else:
+        freq_lfe = jnp.zeros((L, S, 256), jnp.float32)
 
     freq = jnp.concatenate([freq_fbw, freq_lfe[..., None, :]], axis=-2)
     return freq, new_dpos
@@ -743,21 +938,33 @@ def remat_mask(meta):
     return flag_k & (k >= 13) & (k < end[..., None])
 
 
-def unpack_blocks(frames_u8, meta, carry, bias):
+def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5):
     """Full raw-H2D device unpack: frame bytes + meta -> pipeline blocks.
 
-    frames_u8 [L, F, MB] uint8; meta: stacked raw records [L, S, ...];
-    carry: init_unpack_carry dict; bias: scalar or [L, S] f32.
-    Returns (new_carry, blocks) with blocks matching the batched decode
-    pipeline contract: freq [L, S, 6, 256], blksw, coeff, remat, bias."""
+    frames_u8 [L, F, MB] uint8; meta: stacked raw records [L, S, ...]
+    (prune_raw_meta may have dropped absent-feature keys -- the plan
+    specializes on what remains); carry: init_unpack_carry dict; bias:
+    scalar or [L, S] f32; nfch: static full-bandwidth channel count of
+    the (format-homogeneous) batch.  Returns (new_carry, blocks) with
+    blocks matching the batched decode pipeline contract: freq
+    [L, S, 6, 256], blksw, coeff, remat, bias."""
     L, F, MB = frames_u8.shape
     S = 6 * F
     meta = widen_meta(meta)
-    exp, carry_exp = unpack_exponents(frames_u8, meta, carry["exp"])
-    bap = allocate_rows(exp, meta)
-    cplco, carry_cplco = unpack_cplco(frames_u8, meta, carry["cplco"])
+    plan = plan_from_meta(meta, nfch)
+    rows7 = np.asarray(plan.rows, np.int32)
+
+    exp, exp_rows = unpack_exponents(frames_u8, meta, carry["exp"], plan)
+    # dead rows keep their carry state (liba52 leaves a52_state_t
+    # untouched for absent features)
+    carry_exp = carry["exp"].at[:, rows7].set(exp_rows)
+    bap = allocate_rows(exp, meta, plan)
+    if plan.has_cpl:
+        cplco, carry_cplco = unpack_cplco(frames_u8, meta, carry["cplco"])
+    else:
+        cplco, carry_cplco = None, carry["cplco"]
     freq, new_dpos = unpack_mantissas(frames_u8, exp, bap, cplco, meta,
-                                      carry["dpos"])
+                                      carry["dpos"], plan)
     blocks = {
         "freq": freq,
         "blksw": meta["blksw"] != 0,

@@ -208,7 +208,8 @@ def raw_batched_pipeline(fmt: StreamFormat, mesh=None,
 
     def run(carry, frames_u8, meta, bias):
         ucarry, dcarry = carry
-        ucarry, blocks = unpack_blocks(frames_u8, meta, ucarry, bias)
+        ucarry, blocks = unpack_blocks(frames_u8, meta, ucarry, bias,
+                                       nfch=fmt.nfchans)
         dcarry, pcm = jax.vmap(partial(body, fmt))(dcarry, blocks)
         if emit_int16:
             pcm = convert_to_int16(pcm)
@@ -519,13 +520,14 @@ class BatchedDecoder:
     def _raw_dispatch(self, fmt, fu8, meta, valid):
         """Shared tail of the raw-H2D paths: ship frame bytes + meta,
         unpack and decode on device."""
-        from ..ops.unpack_device import init_unpack_carry
+        from ..ops.unpack_device import init_unpack_carry, prune_raw_meta
         L, nf = fu8.shape[:2]
-        # delta bit allocation is rare; when no block in the chunk uses
-        # it, don't ship the [7, 50] tensors (2.1 KB/frame) at all --
-        # the jit specializes on the meta pytree structure
-        if not meta["deltba"].any():
-            del meta["deltba"]
+        # drop meta keys for features absent from the whole chunk (delta
+        # bit allocation, coupling, dither, LFE): the jit specializes on
+        # the pytree structure, picking a program with fewer rows, a
+        # smaller mantissa lattice and no coupling/dither stages -- and
+        # the dropped tensors never cross the host link
+        meta = prune_raw_meta(meta)
 
         steady = steady_ok(fmt, {"blksw": meta["blksw"].astype(bool),
                                  "coeff": meta["coeff"]})

@@ -17,18 +17,31 @@ import os
 
 
 def machine_fingerprint() -> str:
+    """Hash of the codegen-relevant CPU identity.
+
+    The whole first /proc/cpuinfo processor block (minus per-boot noise:
+    MHz, bogomips, core ids) goes in, not just the `flags` line: LLVM
+    picks target tuning features from the CPU *model* (e.g.
+    prefer-no-gather on gather-downclocking parts), so two hosts with
+    identical flags can still produce float-divergent XLA:CPU AOT
+    artifacts.  Observed: a foreign cached executable and a fresh
+    compile of the same HLO disagreeing by 1 ulp in f32 matmuls."""
     parts = []
     try:
         import jaxlib
         parts.append(getattr(jaxlib, "__version__", "?"))
     except Exception:
         parts.append("nojaxlib")
+    volatile = ("cpu mhz", "bogomips", "processor", "core id",
+                "apicid", "initial apicid", "siblings", "cpu cores")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    parts.append(line.strip())
-                    break
+                if not line.strip():
+                    break                        # end of first block
+                if line.split(":")[0].strip().lower() in volatile:
+                    continue
+                parts.append(line.strip())
     except OSError:
         import platform
         parts.append(platform.processor() or platform.machine())

@@ -413,7 +413,8 @@ def bench_config2_raw_device(batch, nframes):
     import ac3acm_tpu.tables as T
     from ac3acm_tpu.host.native import SideinfoBatchParser
     from ac3acm_tpu.models.decoder import StreamFormat, steady_ok
-    from ac3acm_tpu.ops.unpack_device import init_unpack_carry
+    from ac3acm_tpu.ops.unpack_device import (init_unpack_carry,
+                                              prune_raw_meta)
     from ac3acm_tpu.parallel.pipeline import (init_batched_carry,
                                               raw_batched_pipeline)
     flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
@@ -424,9 +425,8 @@ def bench_config2_raw_device(batch, nframes):
     mb = max(-(-int(r["fsizes"][0].max()) // 128) * 128, 128)
     fu8_1 = r["frames"][0, :, :mb]
     recs = r["recs"][0]
-    meta1 = {k: np.ascontiguousarray(recs[k]) for k in recs.dtype.names}
-    if not meta1["deltba"].any():
-        del meta1["deltba"]
+    meta1 = prune_raw_meta(
+        {k: np.ascontiguousarray(recs[k]) for k in recs.dtype.names})
     fmt = StreamFormat(acmod=int(r["fmt"][0, 0, 0]),
                        output=int(r["fmt"][0, 0, 1]),
                        slev_zero=bool(r["fmt"][0, 0, 2]),

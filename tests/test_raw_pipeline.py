@@ -121,6 +121,38 @@ def test_raw_deltba_and_dither():
                 np.testing.assert_array_equal(pcm, ref, err_msg=kind)
 
 
+def test_raw_plan_flip_across_chunks():
+    """Coupling appearing mid-stream: the first chunks dispatch the
+    pruned no-coupling program, later chunks the coupling one; the
+    carry (exp rows, cplco, dither position) must hand over.
+
+    Tolerance, not bitwise: the python and raw paths compile different
+    XLA programs, and XLA:CPU's dot partitioning differs between them
+    by up to ~2e-4 on this content (observed to depend on the platform
+    env).  A carry bug shows up orders of magnitude larger (wrong
+    exponents scale bins by 2^k).  The bit-level proof of the same
+    handover lives in test_unpack_device.test_plan_flip_chunked_carry."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from streamgen import gen_stream
+    plain = gen_stream(31, 2, False, nframes=4)
+    cpl = gen_stream(11, 2, False, nframes=4, want_cpl=True)
+    es = plain + cpl + plain
+    flags = T.A52_STEREO
+    ref = None
+    for kind in ("python", "raw_py", "raw"):
+        d = BatchedDecoder(1, flags, parser=kind)
+        d.feed(0, es)
+        pcm, valid = _drain(d, 2)          # 2-frame chunks: plan flips
+        assert valid.all()
+        if ref is None:
+            ref = pcm
+        else:
+            assert pcm.shape == ref.shape, kind
+            err = np.abs(pcm - ref).max()
+            assert err < 1e-3, (kind, err)
+
+
 def test_raw_rejects_mixed_formats():
     es_a = _es("bench_51_448.ac3")
     es_b = _es("stereo_192.ac3")

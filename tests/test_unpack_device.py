@@ -119,20 +119,58 @@ FREQ_CASES = CASES + [
 ]
 
 
+def test_plan_flip_chunked_carry():
+    """Chunked unpack across a plan flip (no-coupling chunks, then
+    coupling chunks, then back): each chunk dispatches a differently
+    specialized program, but the carry (exp rows, cplco, dither
+    position) must hand over so every dequantized plane stays
+    bit-identical to the host pre-pass."""
+    from tests.streamgen import gen_stream
+    plain = gen_stream(31, 2, False, nframes=4)
+    cpl = _gen(11, 2, False, nframes=4, want_cpl=True)
+    es = plain + cpl + plain
+    frames, rec, snaps = parse_with_snapshots(es, T.A52_STEREO)
+    assert all(r["raw_ok"] for r in rec)
+
+    carry = U.init_unpack_carry(1)
+    CH = 2                                  # frames per chunk
+    for c0 in range(0, len(frames), CH):
+        fchunk = frames[c0:c0 + CH]
+        rchunk = rec[6 * c0: 6 * (c0 + len(fchunk))]
+        fu8, meta, _ = device_inputs(fchunk, rchunk)
+        meta = U.prune_raw_meta({k: np.asarray(v) for k, v in meta.items()})
+        meta = {k: jnp.asarray(v) for k, v in meta.items()}
+        carry, blocks = U.unpack_blocks(fu8, meta, carry, bias=0.0, nfch=2)
+        freq = np.asarray(blocks["freq"])[0]
+        for b in range(freq.shape[0]):
+            bd = snaps[6 * c0 + b]["block"]
+            want = (bd.q * bd.a) * bd.b
+            np.testing.assert_array_equal(freq[b], want,
+                                          err_msg=f"chunk@{c0} block {b}")
+
+
+@pytest.mark.parametrize("pruned", [False, True], ids=["full", "pruned"])
 @pytest.mark.parametrize("name,seed,acmod,lfeon,kw", FREQ_CASES,
                          ids=[c[0] for c in FREQ_CASES])
-def test_freq_bit_exact(name, seed, acmod, lfeon, kw):
+def test_freq_bit_exact(name, seed, acmod, lfeon, kw, pruned):
     """Full device unpack: dequantized planes must equal the host
     pre-pass's (q*a)*b bit for bit -- mantissas, grouped carries,
-    coupling scatter, phase signs, dither LFSR and all."""
+    coupling scatter, phase signs, dither LFSR and all.  The pruned
+    variant drops absent-feature meta keys + passes the static channel
+    count, exercising the specialized RowPlan programs."""
     es = _gen(seed, acmod, lfeon, **kw)
     flags = T.A52_STEREO | (T.A52_LFE if lfeon else 0)
     frames, rec, snaps = parse_with_snapshots(es, flags)
     assert all(r["raw_ok"] for r in rec)
     fu8, meta, _ = device_inputs(frames, rec)
+    nfch = 5
+    if pruned:
+        meta = U.prune_raw_meta({k: np.asarray(v) for k, v in meta.items()})
+        meta = {k: jnp.asarray(v) for k, v in meta.items()}
+        nfch = int(T.NFCHANS[acmod])
 
     carry = U.init_unpack_carry(1)
-    _, blocks = U.unpack_blocks(fu8, meta, carry, bias=0.0)
+    _, blocks = U.unpack_blocks(fu8, meta, carry, bias=0.0, nfch=nfch)
     freq = np.asarray(blocks["freq"])[0]                 # [S, 6, 256]
 
     for b, sn in enumerate(snaps):
