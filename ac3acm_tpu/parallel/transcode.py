@@ -109,7 +109,7 @@ class Transcoder:
 
     def __init__(self, batch: int, out_bitrate: int, out_channels: int,
                  sample_rate: int = 48000, mesh=None, pack: str = "device",
-                 compact_h2d: bool = False):
+                 compact_h2d: bool = False, parser: str = "native"):
         from ..models.encoder import make_config
         self.batch = batch
         self.enc_cfg = make_config(sample_rate, out_bitrate, out_channels)
@@ -128,6 +128,16 @@ class Transcoder:
         # transcode quality unchanged (tests/test_transcode.py gates SNR
         # parity of the compact path against the f32 path)
         self.compact_h2d = compact_h2d
+        # parser='raw' decodes from the coded ES bytes themselves: the
+        # host parses side-info only and the TPU unpacks exponents /
+        # re-runs bit allocation / dequantizes (ops.unpack_device), so
+        # H2D volume is the source ES (~1.8 KB/frame at 448 kbps) instead
+        # of premixed planes (~6-12 KB) -- the right topology when the
+        # host link is the transcode bottleneck.  Decoded PCM is
+        # bit-identical to parser='native' (tests/test_raw_pipeline.py),
+        # so the re-encoded frames are byte-identical too.
+        assert parser in ("native", "raw")
+        self._parser = parser
         self._bd = None          # lazy decoder pool (owns the dec carry)
 
     def _pack(self, enc) -> list[bytes]:
@@ -175,7 +185,7 @@ class Transcoder:
             from .pipeline import BatchedDecoder
             self._bd = BatchedDecoder(self.batch, flags, level=1.0,
                                       bias=384.0, mesh=self.mesh,
-                                      emit_int16=True, parser="native",
+                                      emit_int16=True, parser=self._parser,
                                       compact_h2d=self.compact_h2d)
         for i, d in enumerate(data):
             self._bd.feed(i, d)

@@ -583,14 +583,17 @@ def bench_encode(batch, nframes, bitrate, channels, label):
 # config 5: transcode 5.1 448k -> 2.0 192k, bytes -> bytes
 # ---------------------------------------------------------------------------
 
-def bench_config5(batch, nframes):
+def bench_config5(batch, nframes, parser="native"):
     from ac3acm_tpu.parallel.transcode import Transcoder
     fb = frames_of(golden_es(), nframes)
     data = [b"".join(fb)] * batch
-    # compact block-float decode input: ~2x fewer H2D bytes on the
-    # transfer-bound topology; SNR parity with the f32 path is gated in
-    # tests/test_transcode.py::test_transcode_compact_h2d_quality
-    tc = Transcoder(batch, 192000, 2, compact_h2d=True)
+    # parser='native' ships compact block-float premixed planes (~6.5 KB/
+    # frame H2D, SNR-parity gated); parser='raw' ships the coded ES bytes
+    # themselves (~1.8 KB/frame) and unpacks the bitstream on device --
+    # byte-identical output, gated by
+    # tests/test_transcode.py::test_transcode_raw_parser_byte_identical
+    tc = Transcoder(batch, 192000, 2, compact_h2d=parser == "native",
+                    parser=parser)
 
     # warmup: compile every program in the chain
     out = tc.step_frames(data, nframes)
@@ -611,7 +614,7 @@ def bench_config5(batch, nframes):
     _ = tc.finish(h)
     assert len(out) == batch and out[0][:2] == b"\x0b\x77"
     xrt = batch * nframes * 1536 / 48000.0 / dt
-    log(f"config5 transcode bytes->bytes: {batch} x {nframes}f, "
+    log(f"config5 transcode bytes->bytes [{parser}]: {batch} x {nframes}f, "
         f"{dt * 1000:.0f} ms/chunk pipelined, {xrt:.0f}x realtime")
     return round(xrt, 1)
 
@@ -679,6 +682,9 @@ def main():
             512, 8, 640, 6, "config4 device-side 5.1 encode")
     if "5" in which:
         configs["c5_transcode_1024_xrt"] = bench_config5(1024, 4)
+        configs["c5_transcode_raw_xrt"] = bench_config5(
+            int(os.environ.get("BENCH_RAW_TC_BATCH", "1024")), 4,
+            parser="raw")
     if "hetero" in which:
         het = bench_hetero(int(os.environ.get("BENCH_HETERO_BATCH", "256")))
         configs["hetero_all_51_xrt"] = het["all_51"]

@@ -236,3 +236,38 @@ def test_transcode_corrupt_lane_masked():
     # bad lane: at least one frame flagged, step still returned frames
     assert not ok[1].all()
     assert len(out[1]) == len(ref_out[1])
+
+
+def test_transcode_raw_parser_byte_identical():
+    """parser='raw' (device bitstream unpack: H2D = the coded ES bytes)
+    must produce byte-identical re-encoded streams to parser='native'
+    (premixed-plane H2D) -- the raw decode path is bit-exact vs the host
+    pre-pass (tests/test_raw_pipeline.py), so the whole transcode must
+    agree, including the corrupt-lane mask semantics."""
+    es = open(GOLDEN, "rb").read()
+    frames = _frames(es)[:4]
+    batch = 2
+    clean = b"".join(frames)
+
+    nat = Transcoder(batch=batch, out_bitrate=192000, out_channels=2)
+    ref_out = nat.step_frames([clean] * batch, len(frames))
+
+    raw = Transcoder(batch=batch, out_bitrate=192000, out_channels=2,
+                     parser="raw")
+    out = raw.step_frames([clean] * batch, len(frames))
+    assert raw.ok.all()
+    assert out == ref_out
+
+    # corrupt the middle frame of lane 1 (valid sync header, garbage
+    # side-info): the raw path must mask the lane-frame like native and
+    # keep lane 0 byte-identical
+    bad = bytearray(frames[1])
+    bad[8:40] = b"\xff" * 32
+    feeds = [clean, frames[0] + bytes(bad) + frames[2] + frames[3]]
+    raw2 = Transcoder(batch=batch, out_bitrate=192000, out_channels=2,
+                      parser="raw")
+    out2 = raw2.step_frames(feeds, len(frames))
+    assert not raw2.ok[1].all()
+    assert raw2.ok[0].all()
+    assert out2[0] == ref_out[0]
+    assert len(out2[1]) == len(ref_out[1])
