@@ -13,13 +13,25 @@ XLA's gather HLO runs at ~0.03 Gslot/s on v5e at these shapes (measured)
 are monotone within each 128-slot tile, so every tile's fields live in a
 small window of the buffer:
 
-  * a p24 plane (24-bit little window at every byte position, < 2^24 so
-    exact in f32) is precomputed once per buffer outside the kernel,
-  * the window is a dynamic few-row slice of the [rows, 128] p24 image
-    (sublane-dim pl.ds; start rows scalar-prefetched),
+  * three pre-scaled byte planes (b[p]<<16, b[p+1]<<8, b[p+2] at every
+    byte position p) are precomputed once per buffer outside the kernel.
+    Each plane value is an 8-bit integer times a power of two -- EXACT
+    in bfloat16 -- so the gather matmul runs in ONE default-precision
+    MXU pass (the earlier p24-f32 form needed a 6-pass HIGHEST dot;
+    measured 2.3x slower at bench shapes),
+  * the planes are STORED f32 and cast to bf16 after the load: Mosaic
+    requires dynamic sublane starts on a bf16 vmem ref to be provably
+    8-aligned (window starts are data-dependent), while the f32 layout
+    takes arbitrary dynamic starts; the cast is exact (see above),
+  * the planes are row-INTERLEAVED (image row 3*r+p holds plane p of
+    byte-row r) so each tile's window is ONE dynamic sublane slice of
+    length 3*fr (start rows scalar-prefetched) -- Mosaic compiles the
+    single-slice form ~30x faster than three slices per tile,
   * per-slot selection decomposes by radix: a [slots, 128] lane one-hot
-    f32 matmul picks the column (exact -- each output sums one one-hot
-    product), then a per-row select picks the window row,
+    bf16 matmul picks the column (exact -- each output sums one one-hot
+    product into an f32 accumulator), the three plane rows add into the
+    24-bit window value (< 2^24, exact in f32), and a per-row select
+    picks the window row,
   * the <=16-bit field is then shifted/masked out on the VPU, exactly
     BitReader.gather's arithmetic (host/bitio.py:53-68).
 
@@ -43,7 +55,7 @@ TS = 128                 # slots per tile (lane dim)
 TPG = 8                  # tiles per grid step (sublane dim)
 
 
-def _kernel(win_rows, flat, starts_ref, p24_ref, offs_ref, widths_ref,
+def _kernel(win_rows, flat, starts_ref, planes_ref, offs_ref, widths_ref,
             out_ref):
     u = pl.program_id(1)
     fr = flat // 128                                      # window rows
@@ -52,29 +64,30 @@ def _kernel(win_rows, flat, starts_ref, p24_ref, offs_ref, widths_ref,
     for r in range(TPG):
         row = starts_ref[0, 0, u * TPG + r]
         rows.append(row)
-        wins.append(p24_ref[0, pl.ds(row, fr), :])        # [fr, 128] f32
-    win = jnp.stack(wins, axis=0)                         # [8, fr, 128]
+        wins.append(planes_ref[0, pl.ds(row * 3, fr * 3), :])
+    win = jnp.stack(wins, axis=0).astype(jnp.bfloat16)    # [8, 3*fr, 128]
     offs = offs_ref[0]                                    # [8, 128]
     base = jnp.stack(rows).astype(jnp.int32).reshape(TPG, 1)
     within = (offs >> 3) - base * 128                     # [8, 128]
-    # radix gather: the precomputed p24 plane holds the 24-bit window at
-    # every byte position (values < 2^24, exact in f32), so selecting a
-    # byte position decomposes into a lane one-hot matmul (low 7 bits)
-    # plus a row select (high bits).  Each matmul output picks exactly
-    # one p24 entry -- products and sums are exact in f32.
+    # radix gather: the pre-scaled byte planes hold b[p]<<16 / b[p+1]<<8 /
+    # b[p+2] at every byte position (8-bit ints times powers of two --
+    # exact in bf16), so selecting a byte position decomposes into a lane
+    # one-hot matmul (low 7 bits, ONE default-precision MXU pass; each
+    # output sums exactly one one-hot product into f32), a plane add
+    # (< 2^24, exact in f32) and a row select (high bits).
     lo = within & 127
     hi = within >> 7
     lane = jax.lax.broadcasted_iota(jnp.int32, (TPG, TS, 128), 2)
-    oh = (lane == lo[..., None]).astype(jnp.float32)      # [8, TS, 128]
+    oh = (lane == lo[..., None]).astype(jnp.bfloat16)     # [8, TS, 128]
     t = jax.lax.dot_general(
         win, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        # HIGHEST: default TPU precision truncates the 24-bit p24 values
-        # to one bf16 pass; the multi-pass form is exact for f32 ints
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)               # [8, fr, TS]
+        preferred_element_type=jnp.float32)               # [8, 3*fr, TS]
+    # interleaved rows: t[:, 3*h + p] is window row h, plane p
+    tr = t.reshape(TPG, fr, 3, TS)
+    v = tr[:, :, 0, :] + tr[:, :, 1, :] + tr[:, :, 2, :]
     w24 = jnp.zeros((TPG, TS), jnp.float32)
     for h in range(fr):
-        w24 = jnp.where(hi == h, t[:, h, :], w24)
+        w24 = jnp.where(hi == h, v[:, h, :], w24)
     w24 = w24.astype(jnp.int32)
     widths = widths_ref[0]
     shift = 24 - (offs & 7) - widths
@@ -107,17 +120,26 @@ def _build(N: int, T: int, rows: int, shared: bool, win_rows: int,
     )
 
 
-def _to_p24(data, slack_rows):
-    """[*, MB] uint8 -> [*, rows, 128] f32 of 24-bit byte windows:
-    p24[p] = b[p]<<16 | b[p+1]<<8 | b[p+2] (values < 2^24, exact f32)."""
+def _to_planes(data, slack_rows):
+    """[*, MB] uint8 -> [*, 3*rows, 128] f32 of pre-scaled byte planes:
+    plane0[p] = b[p]*2^16, plane1[p] = b[p+1]*2^8, plane2[p] = b[p+2],
+    row-INTERLEAVED: image row 3*r+p holds plane p of byte-row r, so the
+    kernel's window is one dynamic slice.  Stored f32 (dynamic-start
+    sublane slices need the f32 layout); each value is an 8-bit integer
+    times a power of two -- exact in the bf16 the kernel casts to."""
     MB = data.shape[-1]
     rows = -(-(MB + 2) // 128) + slack_rows
-    pad = rows * 128 - MB
+    pad = rows * 128 + 2 - MB
     d = jnp.pad(data, [(0, 0)] * (data.ndim - 1)
-                + [(0, pad)]).astype(jnp.int32)
-    p24 = (d[..., :-2] << 16) | (d[..., 1:-1] << 8) | d[..., 2:]
-    p24 = jnp.pad(p24, [(0, 0)] * (data.ndim - 1) + [(0, 2)])
-    return p24.reshape(data.shape[:-1] + (rows, 128)).astype(jnp.float32)
+                + [(0, pad)]).astype(jnp.float32)
+    lead = data.shape[:-1]
+    n = rows * 128
+    planes = jnp.stack([d[..., :n] * np.float32(65536.0),
+                        d[..., 1:n + 1] * np.float32(256.0),
+                        d[..., 2:n + 2]], axis=-2)        # [*, 3, n]
+    planes = planes.reshape(lead + (3, rows, 128))
+    planes = jnp.swapaxes(planes, -3, -2)                 # [*, rows, 3, 128]
+    return planes.reshape(lead + (3 * rows, 128))
 
 
 def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
@@ -151,7 +173,7 @@ def extract_fields(data, offsets, widths):
         past the tile minimum (so the fields fit the 512-byte window),
       * inactive slots carry a nearby active offset (width 0 -> value 0).
     """
-    return _run(_to_p24(data, 5), offsets, widths, shared=False,
+    return _run(_to_planes(data, 5), offsets, widths, shared=False,
                 win_rows=5, flat=512)
 
 
@@ -165,7 +187,7 @@ def extract_fields_shared(table, offsets, widths=None, span_rows=14):
     N, S = offsets.shape
     if widths is None:
         widths = jnp.full((N, S), 16, jnp.int32)
-    tab = _to_p24(table[None, :], span_rows)
+    tab = _to_planes(table[None, :], span_rows)
     flat = (span_rows - 2) * 128
     return _run(tab, offsets, widths, shared=True, win_rows=span_rows,
                 flat=flat)
