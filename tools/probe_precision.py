@@ -3,6 +3,14 @@
 HIGHEST (6-pass bf16) is the shipping setting; this probe checks whether
 HIGH (3-pass) stays within the <=1 int16 LSB dispatch gate on golden
 content, and what it buys at bench scale.  Run on TPU only.
+
+RESULT (2026-08-19, v5e): Mosaic's dot lowering rejects Precision.HIGH
+outright (`NotImplementedError: Unsupported dot precision: HIGH`,
+pallas/mosaic/lowering.py:_dot_general_lowering_rule) -- inside a Pallas
+kernel the only choices are DEFAULT (1-pass bf16) and HIGHEST (6-pass).
+A 3-pass middle ground would need a manual bf16 split-and-correct
+(hi/lo decomposition) of the twiddle matmul; candidate for a later
+round if the IMDCT matmul ever dominates the fused kernel.
 """
 import os
 import sys
