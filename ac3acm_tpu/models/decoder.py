@@ -388,6 +388,33 @@ def premix_blocks(fmt: StreamFormat, blocks) -> dict:
     return out
 
 
+def premix_blocks_device(fmt: StreamFormat, blocks) -> dict:
+    """Traced (jnp) twin of premix_blocks for the raw-H2D path: the
+    planes already live on device after ops.unpack_device, so the
+    rematrix + mixer sums run as the SAME elementwise expressions
+    (ops.downmix, identical IEEE f32 evaluation order) before the fused
+    Pallas tail.  Bitwise-equal planes to the host premix."""
+    assert fmt.nf_out < fmt.nfchans or fmt.identity_mix, \
+        "premix requires the freq (reduces) path or an identity mix"
+    freq = blocks["freq"]                              # [B, n, 6, 256]
+    if fmt.acmod == T.A52_STEREO:
+        m = blocks["remat"]
+        s0 = freq[..., 0, :]
+        s1 = freq[..., 1, :]
+        freq = freq.at[..., 0, :].set(jnp.where(m, s0 + s1, s0))
+        freq = freq.at[..., 1, :].set(jnp.where(m, s0 - s1, s1))
+    planes = jnp.moveaxis(freq, -2, 0)                 # [6, B, n, 256]
+    mixed = downmix(planes[:5], fmt.acmod, fmt.output,
+                    jnp.zeros((), jnp.float32), slev_zero=fmt.slev_zero)
+    keep = [mixed[i] for i in range(fmt.nf_out)]
+    if fmt.lfe_out:
+        keep.append(planes[5])
+    pre = jnp.moveaxis(jnp.stack(keep), 0, -2)         # [B, n, P, 256]
+    out = {k: v for k, v in blocks.items() if k != "remat"}
+    out["freq"] = pre
+    return out
+
+
 def steady_ok(fmt: StreamFormat, blocks) -> bool:
     """Host-side eligibility check for _pipeline_steady (numpy blocks,
     arbitrary leading batch axes)."""

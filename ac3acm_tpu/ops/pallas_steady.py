@@ -28,7 +28,7 @@ dispatcher treats it as an opt-in fast path for the TPU backend.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,23 @@ INTERPRET = False
 # HIGHEST regardless: its {0,1} operand must permute exactly.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Manual 3-pass bf16 hi/lo split for the main matmul.  Mosaic rejects
+# Precision.HIGH outright (tools/probe_precision.py), so the 3-pass form
+# is hand-rolled: x = hi + lo (two bf16 pieces covering the top 16
+# mantissa bits), w pre-split the same way, and zd = hi@wlo + lo@whi +
+# hi@whi -- dropping only the lo@wlo term (~2^-16 relative per product).
+# Error at full scale is ~0.5 int16 LSB; the dispatch gate
+# (parallel.pipeline.fused_gate_ok) verifies <= 1 LSB on live content at
+# build time and falls back to the 6-pass HIGHEST kernel if it ever
+# exceeds that.  ~2x on the matmul-bound kernel (3 MXU passes vs 6).
+HILO = True
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
 
 @lru_cache(maxsize=1)
 def _consts():
@@ -58,8 +75,8 @@ def _consts():
             win[::-1].copy().astype(np.float32), rev)
 
 
-def _kernel(freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref, rev_ref,
-            out_ref, dlast_ref):
+def _kernel(hilo, freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref,
+            rev_ref, out_ref, dlast_ref):
     # everything stays in the pipeline's block-major [BB, n, P, 256]
     # layout: the matmul is row-order agnostic, the OLA chain slices the
     # n axis, and the int16 PCM is stored in its final layout -- no HBM
@@ -67,9 +84,19 @@ def _kernel(freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref, rev_ref,
     # [B,P,n,256] relayouts cost ~10 GB of HBM traffic at bench batch)
     BB, n, P, _ = freq_ref.shape
     R = BB * n * P
-    zd = jnp.dot(freq_ref[:].reshape(R, 256), w_ref[:],
-                 preferred_element_type=jnp.float32,
-                 precision=MATMUL_PRECISION)                # [R, 384]
+    f = freq_ref[:].reshape(R, 256)
+    if hilo:
+        # 3-pass bf16 split (see HILO above); w_ref is the pre-split
+        # [2, 256, 384] bf16 stack.  Small terms accumulate first.
+        fhi, flo = _split_bf16(f)
+        whi, wlo = w_ref[0], w_ref[1]
+        zd = (jnp.dot(fhi, wlo, preferred_element_type=jnp.float32)
+              + jnp.dot(flo, whi, preferred_element_type=jnp.float32))
+        zd = zd + jnp.dot(fhi, whi, preferred_element_type=jnp.float32)
+    else:
+        zd = jnp.dot(f, w_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=MATMUL_PRECISION)            # [R, 384]
     z = zd[:, :256]
     d = zd[:, 256:]                                          # [R, 128]
     d4 = d.reshape(BB, n, P, 128)
@@ -138,9 +165,20 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
     bias_rows = jnp.broadcast_to(bias[:, :, None],
                                  (B, n, P)).reshape(B * n * P, 1)
 
+    hilo = bool(HILO)
+    if hilo:
+        whi = w_long.astype(np.float32).astype(jnp.bfloat16)
+        wlo = (w_long - np.asarray(whi, np.float32)).astype(jnp.bfloat16)
+        w_arg = jnp.stack([whi, wlo])                     # [2, 256, 384]
+        w_spec = pl.BlockSpec((2, 256, 384), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_arg = jnp.asarray(w_long)
+        w_spec = pl.BlockSpec((256, 384), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     grid = (B // bb,)
     out, dlast = pl.pallas_call(
-        _kernel,
+        partial(_kernel, hilo),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, n, P, 256), lambda i: (i, 0, 0, 0),
@@ -149,8 +187,7 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb * n * P, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 384), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0),
@@ -175,7 +212,7 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
         ),
         interpret=INTERPRET,
     )(freq, d0_pad, bias_rows,
-      jnp.asarray(w_long), jnp.asarray(win)[None], jnp.asarray(win_r)[None],
+      w_arg, jnp.asarray(win)[None], jnp.asarray(win_r)[None],
       jnp.asarray(rev))
     # the carry-out row matches the kernel's dlast tile fill (see _kernel)
     row = 7 if n >= 8 else n - 1

@@ -58,11 +58,16 @@ class RowPlan(NamedTuple):
 
     nfch: full-bandwidth channel count (NFCHANS[acmod], static per
     format-homogeneous raw batch); has_cpl/has_lfe/has_dith: whether any
-    block in the chunk uses the feature (from meta key presence)."""
+    block in the chunk uses the feature (from meta key presence);
+    cpl_fc: the first-coupled channel index when it is chunk-uniform
+    (static_cpl_fc), else -1.  cpl_fc >= 0 selects the COMPACT mantissa
+    lattice: one coupling segment placed after channel cpl_fc instead of
+    a coupling copy interleaved after every channel."""
     nfch: int = 5
     has_cpl: bool = True
     has_lfe: bool = True
     has_dith: bool = True
+    cpl_fc: int = -1
 
     @property
     def rows(self):
@@ -106,18 +111,79 @@ class RowPlan(NamedTuple):
         return -(-self.R * EXP_ROW_SLOTS // 128) * 128
 
     @property
+    def compact(self):
+        """True when the lattice carries ONE coupling segment at a static
+        position (after channel cpl_fc) instead of a per-channel copy."""
+        return self.has_cpl and self.cpl_fc >= 0
+
+    @property
     def seg(self):
-        """Mantissa lattice slots per block: fbw rows (interleaved with a
-        cpl copy per channel when coupling is live) + the LFE row."""
-        per_ch = 512 if self.has_cpl else 256
-        return self.nfch * per_ch + (128 if self.has_lfe else 0)
+        """Mantissa lattice slots per block: fbw rows (+ one cpl segment
+        when compact, or a cpl copy interleaved per channel otherwise)
+        + the LFE row."""
+        if self.compact:
+            main = (self.nfch + 1) * 256
+        else:
+            main = self.nfch * (512 if self.has_cpl else 256)
+        return main + (128 if self.has_lfe else 0)
+
+    @property
+    def cpl_seg(self):
+        """Slot offset of the coupling segment (compact layout only)."""
+        assert self.compact
+        return (self.cpl_fc + 1) * 256
 
 
-def plan_from_meta(meta, nfch: int = 5) -> RowPlan:
+def plan_from_meta(meta, nfch: int = 5, cpl_fc: int = -1) -> RowPlan:
     return RowPlan(nfch=nfch,
                    has_cpl="chincpl" in meta,
                    has_lfe="lfeon" in meta,
-                   has_dith="dith" in meta)
+                   has_dith="dith" in meta,
+                   cpl_fc=cpl_fc if "chincpl" in meta else -1)
+
+
+def static_cpl_fc(meta) -> int:
+    """Host-side probe: the first-coupled channel index if it is the
+    same for EVERY coupled block in the chunk, else -1.
+
+    A static fc lets the mantissa lattice place ONE coupling segment
+    after channel fc (seg = (nfch+1)*256 + lfe) instead of interleaving
+    a 256-slot coupling copy after every channel (seg = nfch*512 + lfe)
+    -- a 1.6x smaller lattice for the common all-channels-coupled case."""
+    ch = np.asarray(meta.get("chincpl", 0)).ravel()
+    ch = ch[ch != 0]
+    if ch.size == 0:
+        return -1
+    fc = np.unique(ch & -ch)
+    return int(fc[0]).bit_length() - 1 if fc.size == 1 else -1
+
+
+def _cumsum(x, axis=-1, exclusive=False, block=128):
+    """Exact cumsum of small non-negative ints via blocked triangular
+    bf16 MXU matmuls (intra-block) + a tiny inter-block carry.
+
+    XLA lowers cumsum over a 2688-lane axis to ~log2(n) full shifted-add
+    HBM passes; this form is ~2 passes.  Exactness contract: |x| values
+    exact in bf16 (integers with <= 8 significant bits, e.g. flags,
+    field widths <= 16, exponent deltas in [-2, 2]) and running totals
+    < 2^24 (exact in the f32 accumulator).  Falls back to jnp.cumsum
+    when the axis is not the last or not a multiple of `block`."""
+    if axis not in (-1, x.ndim - 1) or x.shape[-1] % block:
+        out = jnp.cumsum(x, axis=axis)
+        return out - x if exclusive else out
+    *lead, seg = x.shape
+    G = seg // block
+    xb = x.reshape(*lead, G, block).astype(jnp.bfloat16)
+    # out[i] = sum_j x[j] * tri[j, i] with j < i (exclusive) / j <= i
+    tri = jnp.triu(jnp.ones((block, block), jnp.bfloat16),
+                   1 if exclusive else 0)
+    intra = jax.lax.dot_general(
+        xb, tri, dimension_numbers=(((xb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sums = jnp.sum(xb.astype(jnp.float32), axis=-1)
+    base = jnp.cumsum(sums, axis=-1) - sums               # [*, G] exclusive
+    out = (intra + base[..., None]).astype(x.dtype)
+    return out.reshape(*lead, seg)
 
 
 # meta keys that only exist to serve one feature; prune_raw_meta drops
@@ -327,7 +393,7 @@ def decode_exponents(codes, meta, plan: RowPlan):
     else:
         base = absexp
 
-    exps = base[..., None] + jnp.cumsum(dbins, axis=-1)
+    exps = base[..., None] + _cumsum(dbins)
     # reorder stream rows -> active rows
     l2s = np.asarray(plan.l2s, np.int32)
     return exps[..., l2s, :]
@@ -649,17 +715,57 @@ def _first_cpl(chincpl, nfch):
 
 
 def _lattice(fbw, cpl, lfe, plan: RowPlan):
-    """[..., nfch, 256] (+ [..., 256] cpl + [..., 128] lfe when live)
-    -> [..., seg] slot layout in coded order."""
-    if plan.has_cpl:
-        cplb = jnp.broadcast_to(cpl[..., None, :], fbw.shape)
+    """fbw [..., nfch, 256] (+ cpl + lfe [..., 128] when live)
+    -> [..., seg] slot layout in coded order.
+
+    Interleaved layout (cpl_fc < 0): a 256-slot coupling copy follows
+    every channel; cpl may be [..., 256] (broadcast to every copy) or
+    [..., nfch, 256] (per-channel, e.g. activity masks).  Compact layout
+    (cpl_fc >= 0): ONE coupling segment after channel cpl_fc; cpl must
+    be [..., 256]."""
+    lead = fbw.shape[:-2]
+    nfch = plan.nfch
+    if plan.has_cpl and plan.compact:
+        k = plan.cpl_fc + 1
+        pre = fbw[..., :k, :].reshape(lead + (k * 256,))
+        post = fbw[..., k:, :].reshape(lead + ((nfch - k) * 256,))
+        main = jnp.concatenate([pre, cpl, post], axis=-1)
+    elif plan.has_cpl:
+        cplb = cpl if cpl.ndim == fbw.ndim else \
+            jnp.broadcast_to(cpl[..., None, :], fbw.shape)
         inter = jnp.stack([fbw, cplb], axis=-2)          # [..., nfch, 2, 256]
-        main = inter.reshape(fbw.shape[:-2] + (plan.nfch * 512,))
+        main = inter.reshape(lead + (plan.nfch * 512,))
     else:
-        main = fbw.reshape(fbw.shape[:-2] + (plan.nfch * 256,))
+        main = fbw.reshape(lead + (plan.nfch * 256,))
     if plan.has_lfe:
         main = jnp.concatenate([main, lfe], axis=-1)
     return main
+
+
+def _split_lattice(x, plan: RowPlan, fc=None):
+    """Inverse of _lattice for per-slot value tensors: returns
+    (fbw [..., nfch, 256], cpl [..., 256] | None, lfe [..., 128] | None).
+    In the interleaved layout the coupling values live at the copy after
+    the DYNAMIC first coupled channel fc [L, S]."""
+    nfch = plan.nfch
+    L, S = x.shape[:2]
+    lfe = x[..., plan.seg - 128:] if plan.has_lfe else None
+    if not plan.has_cpl:
+        return x[..., :nfch * 256].reshape(L, S, nfch, 256), None, lfe
+    if plan.compact:
+        cs = plan.cpl_seg
+        k = plan.cpl_fc + 1
+        pre = x[..., :cs].reshape(L, S, k, 256)
+        post = x[..., cs + 256: cs + 256 + (nfch - k) * 256]
+        fbw = jnp.concatenate(
+            [pre, post.reshape(L, S, nfch - k, 256)], axis=-2)
+        return fbw, x[..., cs:cs + 256], lfe
+    view = x[..., :nfch * 512].reshape(L, S, nfch, 2, 256)
+    chN = jnp.arange(nfch, dtype=jnp.int32)
+    cpl = jnp.sum(jnp.where(chN[:, None] == fc[..., None, None],
+                            view[..., 1, :], jnp.zeros((), x.dtype)),
+                  axis=-2)
+    return view[..., 0, :], cpl, lfe
 
 
 def _cpl_band_index(meta):
@@ -701,14 +807,15 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
         cpl_base = has_cpl[..., None] \
             & (bins >= meta["cplstrt"][..., None]) \
             & (bins < meta["cplend"][..., None])         # [L, S, 256]
-        # cpl activity differs per channel slot (only the first coupled
-        # channel's walk consumes coupling mantissas)
-        cpl_act = cpl_base[..., None, :] \
-            & (chN[:, None] == fc[..., None, None])
+        # cpl activity: only the first coupled channel's walk consumes
+        # coupling mantissas.  Compact layout: fc is static, ONE segment.
+        # Interleaved: per-channel copies masked by chN == fc.
+        cpl_act = cpl_base if plan.compact else \
+            cpl_base[..., None, :] & (chN[:, None] == fc[..., None, None])
         bap_cpl = bap[..., plan.cpl, :]
         exp_cpl = exp[..., plan.cpl, :]
     else:
-        cpl_act = None
+        fc = cpl_act = None
         bap_cpl = exp_cpl = None
     if plan.has_lfe:
         lfe_act = (meta["lfeon"][..., None] != 0) & \
@@ -718,22 +825,12 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
     else:
         lfe_act = bap_lfe = exp_lfe = None
 
-    # cpl activity is per channel slot (only the first coupled channel's
-    # walk consumes coupling mantissas), so the act lattice interleaves
-    # manually rather than via _lattice's shared-row broadcast
-    if plan.has_cpl:
-        inter_act = jnp.stack(
-            [fbw_act, cpl_act], axis=-2).reshape(L, S, nfch * 512)
-    else:
-        inter_act = fbw_act.reshape(L, S, nfch * 256)
-    act = jnp.concatenate([inter_act, lfe_act], axis=-1) \
-        if plan.has_lfe else inter_act
-
+    act = _lattice(fbw_act, cpl_act, lfe_act, plan)
     bap_s = _lattice(bap[..., :nfch, :], bap_cpl, bap_lfe, plan)
     b = jnp.where(act, bap_s, 0)
 
     def excl(x):
-        return jnp.cumsum(x, axis=-1) - x
+        return _cumsum(x, exclusive=True)
 
     is1 = b == 1
     is2 = b == 2
@@ -800,15 +897,19 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
             ndith = jnp.zeros(cpl_dmask.shape, jnp.int32)
             for i in range(nfch):
                 ndith += (cpl_dmask >> i) & 1
-            draws_cpl = jnp.where(cpl_act & (bap_cpl[..., None, :] == 0),
-                                  ndith[..., None, None], 0)
-            draws = jnp.stack([draws_fbw, draws_cpl],
-                              axis=-2).reshape(L, S, nfch * 512)
+            if plan.compact:
+                draws_cpl = jnp.where(cpl_act & (bap_cpl == 0),
+                                      ndith[..., None], 0)
+            else:
+                draws_cpl = jnp.where(cpl_act & (bap_cpl[..., None, :] == 0),
+                                      ndith[..., None, None], 0)
+            draws = _lattice(draws_fbw, draws_cpl,
+                             jnp.zeros((L, S, 128), jnp.int32)
+                             if plan.has_lfe else None, plan)
         else:
-            draws = draws_fbw.reshape(L, S, nfch * 256)
-        if plan.has_lfe:
-            draws = jnp.concatenate(
-                [draws, jnp.zeros((L, S, 128), jnp.int32)], axis=-1)
+            draws = _lattice(draws_fbw, None,
+                             jnp.zeros((L, S, 128), jnp.int32)
+                             if plan.has_lfe else None, plan)
         ordx = excl(draws)
         tot = jnp.sum(draws, axis=-1)                    # [L, S]
         base = carry_dpos[:, None] + jnp.cumsum(tot, axis=1) - tot
@@ -817,11 +918,7 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
 
         # dither gather lattice: fbw bins (rank 0) then cpl bin-major x rank
         if plan.has_cpl:
-            view = abs_ord[..., : nfch * 512].reshape(L, S, nfch, 2, 256)
-            ord_fbw = view[..., 0, :]                    # [L, S, nfch, 256]
-            ord_cpl = jnp.sum(
-                jnp.where(chN[:, None] == fc[..., None, None],
-                          view[..., 1, :], 0), axis=-2)  # [L, S, 256]
+            ord_fbw, ord_cpl, _ = _split_lattice(abs_ord, plan, fc)
             rankN = jnp.arange(nfch, dtype=jnp.int32)
             # clamp unused ranks (>= ndith) to the last live draw: keeps
             # the tile span tight for the windowed gather (tiles window
@@ -857,14 +954,7 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
         new_dpos = carry_dpos
 
     # --- assembly: (q, a, b) per channel/bin -------------------------------
-    if plan.has_cpl:
-        qmain = qv[..., : nfch * 512].reshape(L, S, nfch, 2, 256)
-        q_fbw = qmain[..., 0, :]                         # [L, S, nfch, 256]
-        q_cpl = jnp.sum(jnp.where(chN[:, None] == fc[..., None, None],
-                                  qmain[..., 1, :], 0),
-                        axis=-2)                         # [L, S, 256]
-    else:
-        q_fbw = qv[..., : nfch * 256].reshape(L, S, nfch, 256)
+    q_fbw, q_cpl, _ = _split_lattice(qv, plan, fc)
     e_fbw = exp[..., :nfch, :]
 
     coeff = meta["coeff"][..., :nfch]                    # [L, S, nfch] f32
@@ -938,20 +1028,23 @@ def remat_mask(meta):
     return flag_k & (k >= 13) & (k < end[..., None])
 
 
-def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5):
+def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5,
+                  cpl_fc: int = -1):
     """Full raw-H2D device unpack: frame bytes + meta -> pipeline blocks.
 
     frames_u8 [L, F, MB] uint8; meta: stacked raw records [L, S, ...]
     (prune_raw_meta may have dropped absent-feature keys -- the plan
     specializes on what remains); carry: init_unpack_carry dict; bias:
     scalar or [L, S] f32; nfch: static full-bandwidth channel count of
-    the (format-homogeneous) batch.  Returns (new_carry, blocks) with
-    blocks matching the batched decode pipeline contract: freq
+    the (format-homogeneous) batch; cpl_fc: static first-coupled channel
+    (from static_cpl_fc(meta) -- the CALLER must have verified every
+    coupled block in the chunk has this fc).  Returns (new_carry, blocks)
+    with blocks matching the batched decode pipeline contract: freq
     [L, S, 6, 256], blksw, coeff, remat, bias."""
     L, F, MB = frames_u8.shape
     S = 6 * F
     meta = widen_meta(meta)
-    plan = plan_from_meta(meta, nfch)
+    plan = plan_from_meta(meta, nfch, cpl_fc)
     rows7 = np.asarray(plan.rows, np.int32)
 
     exp, exp_rows = unpack_exponents(frames_u8, meta, carry["exp"], plan)

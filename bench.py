@@ -414,7 +414,8 @@ def bench_config2_raw_device(batch, nframes):
     from ac3acm_tpu.host.native import SideinfoBatchParser
     from ac3acm_tpu.models.decoder import StreamFormat, steady_ok
     from ac3acm_tpu.ops.unpack_device import (init_unpack_carry,
-                                              prune_raw_meta)
+                                              prune_raw_meta,
+                                              static_cpl_fc)
     from ac3acm_tpu.parallel.pipeline import (init_batched_carry,
                                               raw_batched_pipeline)
     flags = T.A52_STEREO | T.A52_ADJUST_LEVEL
@@ -445,7 +446,7 @@ def bench_config2_raw_device(batch, nframes):
     meta = {k: bcast(v) for k, v in meta1.items()}
     bias = jnp.full((batch, 6 * nframes), 384.0, jnp.float32)
     fn = raw_batched_pipeline(fmt, emit_int16=True, steady=steady,
-                              long_only=lo)
+                              long_only=lo, cpl_fc=static_cpl_fc(meta1))
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
     state = {"c": (init_unpack_carry(batch), init_batched_carry(batch))}
     K = int(os.environ.get("BENCH_PIPE_K", "4"))

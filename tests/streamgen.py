@@ -74,7 +74,8 @@ def _write_exponents_dec(bw, rng, expstr, ngrps, absexp):
 def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
               fscod: int = 0, frmsizecod: int = 36, halfratecod: int = 0,
               want_cpl=None, want_blksw=None, want_deltba=False,
-              want_dynrng=True, zero_snr=False, csnr_cap: int = 34):
+              want_dynrng=True, zero_snr=False, csnr_cap: int = 34,
+              cpl_mask: int | None = None):
     """Generate one frame; returns (bytes, st).  st carries across frames."""
     nf = int(T.NFCHANS[acmod])
     first = st is None
@@ -112,7 +113,7 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
     for blk in range(6):
         _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, first and blk == 0,
                    want_cpl, want_blksw, want_deltba, want_dynrng, zero_snr,
-                   csnr_cap, halfratecod)
+                   csnr_cap, halfratecod, cpl_mask)
 
     payload = bw.flush()
     total = T.frame_size_bytes(fscod, frmsizecod)
@@ -123,7 +124,7 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
 
 def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
                want_cpl, want_blksw, want_deltba, want_dynrng, zero_snr,
-               csnr_cap=34, halfratecod=0):
+               csnr_cap=34, halfratecod=0, cpl_mask=None):
     nf = st.nfchans
     blksw = [0] * nf
     if want_blksw and acmod != 0:
@@ -153,6 +154,11 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
             incpl = 0
             while incpl == 0:
                 incpl = int(rng.integers(1, 1 << nf))
+            if cpl_mask is not None:
+                # uniform coupling set across the stream (static-fc
+                # compact-lattice tests)
+                assert 0 < cpl_mask < (1 << nf)
+                incpl = cpl_mask
             for i in range(nf):
                 bw.write(1, (incpl >> i) & 1)
             st.chincpl = incpl

@@ -149,6 +149,49 @@ def test_plan_flip_chunked_carry():
                                           err_msg=f"chunk@{c0} block {b}")
 
 
+COMPACT_CASES = [
+    # (name, seed, acmod, lfeon, cpl_mask) -- cpl_mask pins chincpl to a
+    # uniform set so the chunk has a static first-coupled channel
+    ("stereo_fc0", 11, 2, False, 0b11),
+    ("stereo_fc1", 12, 2, False, 0b10),
+    ("3f2r_lfe_fc0", 14, 7, True, 0b11111),
+    ("3f2r_fc1", 33, 7, False, 0b00110),
+    ("3f1r_lfe_fc2", 22, 5, True, 0b1100),
+]
+
+
+@pytest.mark.parametrize("name,seed,acmod,lfeon,cpl_mask", COMPACT_CASES,
+                         ids=[c[0] for c in COMPACT_CASES])
+def test_compact_lattice_bit_exact(name, seed, acmod, lfeon, cpl_mask):
+    """The compact mantissa lattice (static first-coupled channel, ONE
+    coupling segment) must reproduce the interleaved layout bitwise --
+    carries included."""
+    kw = dict(want_cpl=True, cpl_mask=cpl_mask)
+    es = _gen(seed, acmod, lfeon, nframes=4, **kw)
+    flags = T.A52_STEREO | (T.A52_LFE if lfeon else 0)
+    frames, rec, snaps = parse_with_snapshots(es, flags)
+    assert all(r["raw_ok"] for r in rec)
+    fu8, meta, meta_np = device_inputs(frames, rec)
+    meta = U.prune_raw_meta({k: np.asarray(v) for k, v in meta.items()})
+    meta = {k: jnp.asarray(v) for k, v in meta.items()}
+    nfch = int(T.NFCHANS[acmod])
+    fc = U.static_cpl_fc(meta_np)
+    assert fc >= 0, "generated coupled stream should have a uniform fc"
+
+    outs = []
+    for cpl_fc in (-1, fc):
+        carry = U.init_unpack_carry(1)
+        freqs = []
+        for f0 in range(0, fu8.shape[1], 2):   # 2-frame chunks: carries
+            m = {k: v[:, 6 * f0: 6 * (f0 + 2)] for k, v in meta.items()}
+            carry, blocks = U.unpack_blocks(fu8[:, f0:f0 + 2], m, carry,
+                                            bias=0.0, nfch=nfch,
+                                            cpl_fc=cpl_fc)
+            freqs.append(np.asarray(blocks["freq"]))
+        outs.append(np.concatenate(freqs, axis=1))
+    np.testing.assert_array_equal(outs[1], outs[0])
+
+
 @pytest.mark.parametrize("pruned", [False, True], ids=["full", "pruned"])
 @pytest.mark.parametrize("name,seed,acmod,lfeon,kw", FREQ_CASES,
                          ids=[c[0] for c in FREQ_CASES])

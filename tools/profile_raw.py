@@ -68,7 +68,8 @@ def main():
     fu8 = bcast(fu8_1)
     meta_h = {k: bcast(v) for k, v in meta1.items()}
     bias = jnp.full((batch, 6 * nframes), 384.0, jnp.float32)
-    plan = U.plan_from_meta(meta1, fmt.nfchans)
+    cpl_fc = U.static_cpl_fc(meta1)
+    plan = U.plan_from_meta(meta1, fmt.nfchans, cpl_fc)
     print(f"plan: {plan}, steady={steady}, long_only={lo}, "
           f"seg={plan.seg}, MB={mb}")
 
@@ -114,12 +115,13 @@ def main():
     timed("mant", stage_mant, fu8, exp, bap, cplco, wm, carry["dpos"])
 
     def stage_full(fu8, meta, c, bias):
-        return U.unpack_blocks(fu8, meta, c, bias, nfch=fmt.nfchans)[1]
+        return U.unpack_blocks(fu8, meta, c, bias, nfch=fmt.nfchans,
+                               cpl_fc=cpl_fc)[1]
 
     timed("full", stage_full, fu8, meta_h, carry, bias)
 
     fn = raw_batched_pipeline(fmt, emit_int16=True, steady=steady,
-                              long_only=lo)
+                              long_only=lo, cpl_fc=cpl_fc)
     state = (U.init_unpack_carry(batch), init_batched_carry(batch))
     out = fn(state, fu8, meta_h, bias)
     _ = float(chk(out[1]))
