@@ -53,11 +53,35 @@ MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 # is hand-rolled: x = hi + lo (two bf16 pieces covering the top 16
 # mantissa bits), w pre-split the same way, and zd = hi@wlo + lo@whi +
 # hi@whi -- dropping only the lo@wlo term (~2^-16 relative per product).
-# Error at full scale is ~0.5 int16 LSB; the dispatch gate
-# (parallel.pipeline.fused_gate_ok) verifies <= 1 LSB on live content at
-# build time and falls back to the 6-pass HIGHEST kernel if it ever
-# exceeds that.  ~2x on the matmul-bound kernel (3 MXU passes vs 6).
+# ~2x on the matmul-bound kernel (3 MXU passes vs 6).
 HILO = True
+
+# ---------------------------------------------------------------------------
+# THE fused-path accuracy contract -- stated once, here; the dispatch gate
+# (parallel.pipeline._gate_once), the driver bench (bench.py
+# _assert_fused_matches_xla) and the pytest (tests/test_pallas_steady.py)
+# all enforce exactly these two bounds against the XLA steady pipeline on
+# full-scale golden-derived content:
+#
+#   * PCM:   max |fused - xla| <= PCM_LSB_TOL int16 LSB
+#   * carry: max |fused - xla| <= CARRY_ATOL in float units
+#
+# CARRY_ATOL is one PCM LSB expressed in the float domain before int16
+# conversion (1/32768): the OLA delay carry is recomputed fresh from each
+# block's matmul (no accumulation across blocks), so a bounded per-block
+# matmul error stays bounded in the carry, and a carry within 1 float-LSB
+# can perturb the NEXT chunk's first block by at most 1 PCM LSB.
+#
+# Error analysis behind the bounds: the 3-pass HILO kernel drops the
+# lo@wlo term and re-rounds the residual into one bf16 piece, ~2^-16
+# relative per product -> at the decode output scale (|out - bias| <= 1.0
+# after windowing) the absolute error is <= ~1.5e-5 < 1/32768 ~= 3.05e-5,
+# i.e. at most 0.5 PCM LSB; measured on golden content: <= 1 LSB PCM,
+# carry drift 1.3e-6.  The 6-pass HIGHEST kernel measures ~3e-8.  A
+# kernel that ever exceeds the contract is demoted by the gate
+# (parallel.pipeline.fused_gate_ok) to the 6-pass HIGHEST form.
+PCM_LSB_TOL = 1
+CARRY_ATOL = 1.0 / 32768
 
 
 def _split_bf16(x):
@@ -125,7 +149,8 @@ def _kernel(hilo, freq_ref, d0_ref, bias_ref, w_ref, win_ref, winr_ref,
         dlast_ref[:] = tiled                   # d[n-1] at row n-1
 
 
-def fused_steady(freq, d0, bias, bb: int | None = None):
+def fused_steady(freq, d0, bias, bb: int | None = None,
+                 hilo: bool | None = None):
     """freq [B, n, P, 256] premixed long-only planes in the pipeline's
     block-major layout; d0 [B, P, 128] carry; bias [B, n] (the per-block
     state bias, 384.0 normally).
@@ -136,6 +161,11 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
     caller lays them out; every plane has the same long-block chain).
     bb: streams per grid instance (defaults to the largest of 8/4/2/1
     dividing B that keeps the instance's VMEM footprint in budget).
+    hilo: kernel variant -- 3-pass hi/lo split vs 6-pass HIGHEST (see
+    the contract above); None reads the module default at trace time.
+    Callers that cache traced pipelines must key their cache on this
+    (parallel.pipeline does), or a demotion would keep serving a stale
+    HILO compilation.
     """
     w_long, win, win_r, rev = _consts()
     B, n, P, _ = freq.shape
@@ -152,7 +182,7 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
             pcm, dlast = fused_steady(
                 jnp.moveaxis(freq, 2, 1).reshape(B * P, n, 1, 256),
                 d0.reshape(B * P, 1, 128),
-                jnp.repeat(bias, P, axis=0))
+                jnp.repeat(bias, P, axis=0), hilo=hilo)
             pcm = jnp.moveaxis(pcm.reshape(B, P, n, 256), 1, 2)
             return pcm, dlast.reshape(B, P, 128)
         if bb is None:
@@ -165,7 +195,7 @@ def fused_steady(freq, d0, bias, bb: int | None = None):
     bias_rows = jnp.broadcast_to(bias[:, :, None],
                                  (B, n, P)).reshape(B * n * P, 1)
 
-    hilo = bool(HILO)
+    hilo = bool(HILO) if hilo is None else bool(hilo)
     if hilo:
         whi = w_long.astype(np.float32).astype(jnp.bfloat16)
         wlo = (w_long - np.asarray(whi, np.float32)).astype(jnp.bfloat16)

@@ -829,61 +829,8 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
     bap_s = _lattice(bap[..., :nfch, :], bap_cpl, bap_lfe, plan)
     b = jnp.where(act, bap_s, 0)
 
-    def excl(x):
-        return _cumsum(x, exclusive=True)
-
-    is1 = b == 1
-    is2 = b == 2
-    is4 = b == 4
-    cnt1 = excl(is1.astype(jnp.int32))
-    cnt2 = excl(is2.astype(jnp.int32))
-    cnt4 = excl(is4.astype(jnp.int32))
-    reads1 = is1 & (cnt1 % 3 == 0)
-    reads2 = is2 & (cnt2 % 3 == 0)
-    reads4 = is4 & (cnt4 % 2 == 0)
-    w6 = jnp.where(b == 15, 16, jnp.where(b == 14, 14, b - 1))
-    w = (jnp.where(reads1, 5, 0) + jnp.where(reads2, 7, 0)
-         + jnp.where(b == 3, 3, 0) + jnp.where(reads4, 7, 0)
-         + jnp.where(b == 5, 4, 0) + jnp.where(b >= 6, w6, 0))
-    offsets = meta["man_off"][..., None] + excl(w)
-
-    codes = extract_fields(
-        frames_u8.reshape(L * F, MB),
-        offsets.reshape(L * F, 6 * seg),
-        w.reshape(L * F, 6 * seg)).reshape(L, S, seg)
-
-    # grouped-class leader propagation (quantizer_set_t carries,
-    # parse.c:43-50): forward-fill the leader's code along the lattice
-    slot_no = jnp.arange(seg, dtype=jnp.int32)
-
-    def leader(reads):
-        pk = jnp.where(reads, (slot_no << 7) | codes, -1)
-        return jax.lax.cummax(pk, axis=pk.ndim - 1) & 127
-
-    c1, c2, c4 = leader(reads1), leader(reads2), leader(reads4)
-    m1 = cnt1 % 3
-    d1 = jnp.where(m1 == 0, c1 // 9,
-                   jnp.where(m1 == 1, (c1 % 9) // 3, c1 % 3))
-    m2 = cnt2 % 3
-    d2 = jnp.where(m2 == 0, c2 // 25,
-                   jnp.where(m2 == 1, (c2 % 25) // 5, c2 % 5))
-    m4 = cnt4 % 2
-    d4 = jnp.where(m4 == 0, c4 // 11, c4 % 11)
-
-    sv = codes - ((codes >> (jnp.maximum(w6, 1) - 1)) << jnp.maximum(w6, 1))
-    v6 = (sv << (16 - jnp.maximum(w6, 1))).astype(jnp.float32)
-    qv = jnp.where(is1 & (c1 < 27), _chain(d1, _LVL3),
-         jnp.where(is2 & (c2 < 125), _chain(d2, _LVL5),
-         jnp.where(b == 3, _chain(codes, _LVL7),
-         jnp.where(is4 & (c4 < 121), _chain(d4, _LVL11),
-         jnp.where(b == 5, _chain(codes, _LVL15),
-                   jnp.where(b >= 6, v6, 0.0))))))
-    # out-of-range grouped codes (q1>=27, q2>=125, q4>=121) decode to 0
-    # for every member -- the reference tables' literal 0 tails
-    # (tables.h:86-115); the arithmetic //,% decomposition above would
-    # index past the level ladder, so those slots fall through to 0.
-
-    # --- dither ordinals (LFSR draw positions, parse.c:310-319) -----------
+    # --- dither draw lattice (independent of the codes; built early so
+    # its ordinal cumsum rides the same stacked pass as the counters) ---
     if plan.has_dith:
         dith = meta["dith"][..., :nfch]                  # [L, S, nfch]
         dith_fbw = (dith != 0)[..., None] & fbw_act & \
@@ -910,7 +857,83 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
             draws = _lattice(draws_fbw, None,
                              jnp.zeros((L, S, 128), jnp.int32)
                              if plan.has_lfe else None, plan)
-        ordx = excl(draws)
+    else:
+        draws = None
+
+    # --- slot counters: ONE stacked exclusive-cumsum pass ----------------
+    # The per-class counters (grouped-quantizer positions), the simple
+    # field widths and the dither ordinals are all independent series, so
+    # they share a single blocked-triangular pass (VERDICT r3 item 3: the
+    # lattice previously made 5 serial _cumsum passes -- 3 counters, then
+    # the width cumsum that depended on them, then dither ordinals).  The
+    # group-read bit positions follow ARITHMETICALLY from the class
+    # counters: a b==1 group read costs 5 bits per 3 members, so bits
+    # consumed before a slot with exclusive count c are 5*ceil(c/3) --
+    # no dependent second pass (parse.c:354-432's running cursor, as
+    # closed-form prefix arithmetic).
+    is1 = b == 1
+    is2 = b == 2
+    is4 = b == 4
+    w6 = jnp.where(b == 15, 16, jnp.where(b == 14, 14, b - 1))
+    w_simple = (jnp.where(b == 3, 3, 0) + jnp.where(b == 5, 4, 0)
+                + jnp.where(b >= 6, w6, 0))
+    series = [is1.astype(jnp.int32), is2.astype(jnp.int32),
+              is4.astype(jnp.int32), w_simple]
+    if draws is not None:
+        series.append(draws)
+    cs = _cumsum(jnp.stack(series, axis=-2), exclusive=True)
+    cnt1, cnt2, cnt4 = cs[..., 0, :], cs[..., 1, :], cs[..., 2, :]
+    reads1 = is1 & (cnt1 % 3 == 0)
+    reads2 = is2 & (cnt2 % 3 == 0)
+    reads4 = is4 & (cnt4 % 2 == 0)
+    w = (jnp.where(reads1, 5, 0) + jnp.where(reads2, 7, 0)
+         + jnp.where(reads4, 7, 0) + w_simple)
+    offsets = (meta["man_off"][..., None]
+               + 5 * ((cnt1 + 2) // 3) + 7 * ((cnt2 + 2) // 3)
+               + 7 * ((cnt4 + 1) // 2) + cs[..., 3, :])
+
+    codes = extract_fields(
+        frames_u8.reshape(L * F, MB),
+        offsets.reshape(L * F, 6 * seg),
+        w.reshape(L * F, 6 * seg)).reshape(L, S, seg)
+
+    # grouped-class leader propagation (quantizer_set_t carries,
+    # parse.c:43-50): forward-fill the leader's code along the lattice.
+    # The three classes stack into ONE cummax call (same total element
+    # work, one kernel chain instead of three).
+    slot_no = jnp.arange(seg, dtype=jnp.int32)
+    pk = jnp.stack(
+        [jnp.where(r, (slot_no << 7) | codes, -1)
+         for r in (reads1, reads2, reads4)], axis=-2)    # [L, S, 3, seg]
+    led = jax.lax.cummax(pk, axis=pk.ndim - 1) & 127
+    c1, c2, c4 = led[..., 0, :], led[..., 1, :], led[..., 2, :]
+    m1 = cnt1 % 3
+    d1 = jnp.where(m1 == 0, c1 // 9,
+                   jnp.where(m1 == 1, (c1 % 9) // 3, c1 % 3))
+    m2 = cnt2 % 3
+    d2 = jnp.where(m2 == 0, c2 // 25,
+                   jnp.where(m2 == 1, (c2 % 25) // 5, c2 % 5))
+    m4 = cnt4 % 2
+    d4 = jnp.where(m4 == 0, c4 // 11, c4 % 11)
+
+    sv = codes - ((codes >> (jnp.maximum(w6, 1) - 1)) << jnp.maximum(w6, 1))
+    v6 = (sv << (16 - jnp.maximum(w6, 1))).astype(jnp.float32)
+    qv = jnp.where(is1 & (c1 < 27), _chain(d1, _LVL3),
+         jnp.where(is2 & (c2 < 125), _chain(d2, _LVL5),
+         jnp.where(b == 3, _chain(codes, _LVL7),
+         jnp.where(is4 & (c4 < 121), _chain(d4, _LVL11),
+         jnp.where(b == 5, _chain(codes, _LVL15),
+                   jnp.where(b >= 6, v6, 0.0))))))
+    # out-of-range grouped codes (q1>=27, q2>=125, q4>=121) decode to 0
+    # for every member -- the reference tables' literal 0 tails
+    # (tables.h:86-115); the arithmetic //,% decomposition above would
+    # index past the level ladder, so those slots fall through to 0.
+
+    # --- dither ordinals (LFSR draw positions, parse.c:310-319): the
+    # draw lattice was built above; its exclusive ordinals rode the
+    # stacked counter pass ---------------------------------------------
+    if plan.has_dith:
+        ordx = cs[..., 4, :]                             # [L, S, seg]
         tot = jnp.sum(draws, axis=-1)                    # [L, S]
         base = carry_dpos[:, None] + jnp.cumsum(tot, axis=1) - tot
         abs_ord = base[..., None] + ordx                 # [L, S, seg]
