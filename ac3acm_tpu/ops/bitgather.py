@@ -55,6 +55,51 @@ TS = 128                 # slots per tile (lane dim)
 TPG = 8                  # tiles per grid step (sublane dim)
 
 
+def _kernel_mega(fr, U, starts_ref, planes_ref, offs_ref, widths_ref,
+                 out_ref):
+    """One grid step per ROW; all U steps of W=TPG*TS=1024 slots run as
+    an unrolled in-kernel loop.  The per-tile form below runs U*TPG tiny
+    batched matmuls spread over N*U grid steps; at raw-unpack shapes the
+    ~1 us fixed cost per grid step (DMA/semaphore orchestration)
+    dominates everything else -- measured: collapsing the window matmul
+    from 8 passes to 1 per step changed nothing while the grid shape
+    stayed (N, U).  Here the grid is (N,): per row, U window slices + U
+    2D [3*fr, 128] x [128, W] byte-select matmuls (slots on the LANE
+    axis -- no lane-crossing reshapes), each followed by 3*fr vector
+    select-accumulates resolving the interleaved (row, plane) select."""
+    W = offs_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+    # narrow wire dtypes (the offsets/widths/out DMA floor is ~1/3 of
+    # kernel cost at raw-unpack shapes): offsets arrive WINDOW-RELATIVE
+    # int16 (the absolute offset is rel + start_row*1024, never needed
+    # in here), widths int8, and the <=16-bit field values leave as
+    # int16 (consumers reinterpret via as_u16).  One upcast per block,
+    # then static slices in the unrolled u loop.
+    rel32 = offs_ref[0].astype(jnp.int32)                 # [U, W]
+    wid32 = widths_ref[0].astype(jnp.int32)
+    for u in range(U):
+        row = starts_ref[0, 0, u]
+        win = planes_ref[0, pl.ds(row * 3, fr * 3), :].astype(jnp.bfloat16)
+        rel = rel32[u:u + 1]                              # [1, W] bits
+        within = rel >> 3                                 # byte in window
+        lo = within & 127
+        hi = within >> 7                                  # window row
+        oh = (lane == lo).astype(jnp.bfloat16)            # [128, W]
+        t = jax.lax.dot_general(
+            win, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [3*fr, W]
+        # interleaved window rows: t[3*h + p] is byte-row h, plane p;
+        # the slot's three plane rows accumulate into the 24-bit value
+        w24 = jnp.zeros((1, W), jnp.float32)
+        for c in range(3 * fr):
+            w24 = w24 + jnp.where(hi == (c // 3), t[c:c + 1, :], 0.0)
+        w24 = w24.astype(jnp.int32)
+        widths = wid32[u:u + 1]                           # [1, W]
+        shift = 24 - (rel & 7) - widths
+        val = (w24 >> shift) & ((jnp.int32(1) << widths) - 1)
+        out_ref[0, pl.ds(u, 1)] = val.astype(jnp.int16)
+
+
 def _kernel(win_rows, flat, starts_ref, planes_ref, offs_ref, widths_ref,
             out_ref):
     u = pl.program_id(1)
@@ -93,6 +138,63 @@ def _kernel(win_rows, flat, starts_ref, planes_ref, offs_ref, widths_ref,
     shift = 24 - (offs & 7) - widths
     val = (w24 >> shift) & ((jnp.int32(1) << widths) - 1)
     out_ref[0] = val
+
+
+@lru_cache(maxsize=64)
+def _build_mega(N: int, U: int, rows: int, shared: bool, fr: int):
+    W = TPG * TS
+    grid_spec = pl.GridSpec(
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 1, U), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3 * rows, 128),
+                         (lambda n: (0, 0, 0)) if shared
+                         else (lambda n: (n, 0, 0))),
+            pl.BlockSpec((1, U, W), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, U, W), lambda n: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, U, W), lambda n: (n, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_kernel_mega, fr, U),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, U, W), jnp.int16),
+        interpret=INTERPRET or jax.default_backend() != "tpu",
+    )
+
+
+def _run_mega(data_rows, offsets, widths, shared: bool, fr: int):
+    """Mega-step dispatch: TPG*TS = 1024 slots share one fr-row window.
+
+    Step-span contract (callers enforce): within each 1024-slot step,
+    max(offset) - min(offset) <= (fr-2)*128*8 bits, so the step's fields
+    plus the 24-bit read tail fit the window even when the window start
+    is mis-aligned by up to 127 bytes.  Near the buffer end the start is
+    clamped so the slice stays in bounds (the span then trivially fits:
+    the window IS the buffer tail)."""
+    N, S = offsets.shape
+    W = TPG * TS
+    U = -(-S // W)
+    pad = U * W - S
+    if pad:
+        offsets = jnp.concatenate(
+            [offsets, jnp.broadcast_to(offsets[:, -1:], (N, pad))], axis=1)
+        widths = jnp.concatenate(
+            [widths, jnp.zeros((N, pad), jnp.int32)], axis=1)
+    rows = data_rows.shape[-2] // 3
+    fr = min(fr, rows)
+    offsets = offsets.reshape(N, U, W)
+    widths = widths.reshape(N, U, W)
+    starts = offsets.min(axis=2) >> 10
+    starts = jnp.minimum(starts, rows - fr)
+    # narrow wire forms (see _kernel_mega): window-relative i16 offsets,
+    # i8 widths -- the casts fuse into the XLA producers
+    rel = (offsets - (starts << 10)[..., None]).astype(jnp.int16)
+    out = _build_mega(N, U, rows, shared, fr)(
+        starts.reshape(N, 1, U), data_rows, rel,
+        widths.astype(jnp.int8))
+    return out.reshape(N, U * W)[:, :S]
 
 
 @lru_cache(maxsize=64)
@@ -164,33 +266,66 @@ def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
     return out.reshape(N, T * TS)[:, :S]
 
 
+# Dispatch knob: the mega-step kernel (one shared window + one MXU pass
+# per 1024 slots) vs the per-tile form (8 batched tiny matmuls per grid
+# step).  Mega measures ~8x fewer MXU passes at raw-unpack shapes; the
+# per-tile form stays for A/B and as the fallback while offsets violate
+# the wider step-span contract (no production caller does).
+MEGA = True
+
+# mega window rows: (fr-2)*128 = 2560 bytes of usable span per 1024-slot
+# step.  Monotone width-consuming lattices span <= 16 bits/slot = 2048 B
+# plus inter-block jumps (codes: ~200 B; exponents: <= 2 block strides
+# ~1.3 KB at the 3840-byte max frame, with only ~530 B of field bits on
+# top) -- all under 2560.  The dither rank lattice advances ~1 ordinal
+# (2 B) per slot: ~2.1 KB.  VMEM cost is fr*3 rows = 33 KB: negligible.
+MEGA_FR = 22
+
+
+def as_u16(codes):
+    """Reinterpret extract_fields' int16 wire values as unsigned int32.
+    Fuses into the consumer's first elementwise op."""
+    return codes.astype(jnp.int32) & 0xFFFF
+
+
 def extract_fields(data, offsets, widths):
     """data [N, MB] uint8; offsets/widths [N, S] int32 (bit offsets,
-    widths 0..16).  Returns [N, S] int32 unsigned field values.
+    widths 0..16).  Returns [N, S] int16 field values carrying the
+    unsigned 16-bit pattern -- reinterpret with as_u16 (values < 2^15
+    may be used directly).
 
     Requirements (ops.unpack_device enforces):
-      * within each 128-slot tile, offsets span <= 128*16 = 2048 bits
-        past the tile minimum (so the fields fit the 512-byte window),
+      * offsets within each 1024-slot step span <= (MEGA_FR-2)*128 bytes
+        past the step minimum (per 128-slot tile and 512-byte window in
+        the per-tile fallback),
       * inactive slots carry a nearby active offset (width 0 -> value 0).
     """
+    if MEGA:
+        return _run_mega(_to_planes(data, 5), offsets, widths,
+                         shared=False, fr=MEGA_FR)
     return _run(_to_planes(data, 5), offsets, widths, shared=False,
-                win_rows=5, flat=512)
+                win_rows=5, flat=512).astype(jnp.int16)
 
 
 def extract_fields_shared(table, offsets, widths=None, span_rows=14):
     """Gather 16-bit fields from ONE shared byte table for all rows.
 
-    table [TB] uint8; offsets [N, S] int32 bit offsets.  Per 128-slot
-    tile the offsets may span up to (span_rows-3)*128 bytes -- the dither
-    orbit needs wider windows than mantissa fields because coupled blocks
-    draw up to 5 dither words per slot."""
+    table [TB] uint8; offsets [N, S] int32 bit offsets.  Returns int16
+    wire values (see extract_fields; reinterpret with as_u16).  Mega
+    form: the 1024-slot step-span contract of extract_fields applies
+    (the caller's per-step min-rebase must use 1024-slot groups).
+    Per-tile fallback: per 128-slot tile the offsets may span up to
+    (span_rows-3)*128 bytes."""
     N, S = offsets.shape
     if widths is None:
         widths = jnp.full((N, S), 16, jnp.int32)
+    if MEGA:
+        tab = _to_planes(table[None, :], 5)
+        return _run_mega(tab, offsets, widths, shared=True, fr=MEGA_FR)
     tab = _to_planes(table[None, :], span_rows)
     flat = (span_rows - 2) * 128
     return _run(tab, offsets, widths, shared=True, win_rows=span_rows,
-                flat=flat)
+                flat=flat).astype(jnp.int16)
 
 
 def reference_extract(data: np.ndarray, offsets: np.ndarray,

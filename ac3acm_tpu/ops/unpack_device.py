@@ -45,7 +45,7 @@ import numpy as np
 
 from .. import tables as T
 from . import alloc as A
-from .bitgather import extract_fields, extract_fields_shared
+from .bitgather import as_u16, extract_fields, extract_fields_shared
 
 # fixed-7 logical row convention (carry + wire meta): fbw0..4, cpl, lfe
 EXP_ROW_SLOTS = 86           # abs + 85 groups per row
@@ -68,6 +68,16 @@ class RowPlan(NamedTuple):
     has_lfe: bool = True
     has_dith: bool = True
     cpl_fc: int = -1
+    # change-point compaction (static, from static_exp_pts /
+    # static_alloc_pts): at most exp_pts blocks per frame carry new
+    # exponents, and at most alloc_pts blocks per frame change ANY
+    # bit-allocation input.  6 = dense (no compaction).  Steady streams
+    # (exponent strategy D15/D25/D45 at block 0 + REUSE) compact 6x: the
+    # exponent lattice/gather/decode and the allocator's band math run
+    # once per frame instead of once per block, then forward-fill --
+    # the device twin of liba52's do_bit_alloc caching (parse.c:949-1056).
+    exp_pts: int = 6
+    alloc_pts: int = 6
 
     @property
     def rows(self):
@@ -134,12 +144,51 @@ class RowPlan(NamedTuple):
         return (self.cpl_fc + 1) * 256
 
 
-def plan_from_meta(meta, nfch: int = 5, cpl_fc: int = -1) -> RowPlan:
+def plan_from_meta(meta, nfch: int = 5, cpl_fc: int = -1,
+                   exp_pts: int = 6, alloc_pts: int = 6) -> RowPlan:
     return RowPlan(nfch=nfch,
                    has_cpl="chincpl" in meta,
                    has_lfe="lfeon" in meta,
                    has_dith="dith" in meta,
-                   cpl_fc=cpl_fc if "chincpl" in meta else -1)
+                   cpl_fc=cpl_fc if "chincpl" in meta else -1,
+                   exp_pts=exp_pts, alloc_pts=alloc_pts)
+
+
+# meta keys whose change between consecutive blocks invalidates the
+# cached bit allocation (the device analogue of parse.c's do_bit_alloc
+# triggers); new exponents (exp_off >= 0) always do.
+_ALLOC_KEYS = ("endmant", "chincpl", "cplstrt", "cplend", "cplstrtbnd",
+               "ncplbnd", "bai", "csnroffst", "cplbai", "babai", "lfebai",
+               "cplfleak", "cplsleak", "lfeon", "fscod", "halfrate",
+               "deltba")
+
+
+def static_exp_pts(meta) -> int:
+    """Host probe: max blocks per frame carrying new exponents (any row),
+    over every lane/frame of the chunk.  [.., S, ..] meta, S = 6F."""
+    eo = np.asarray(meta["exp_off"])
+    has = (eo >= 0).any(-1)
+    has = has.reshape(has.shape[:-1] + (-1, 6))
+    return max(1, int(has.sum(-1).max()))
+
+
+def static_alloc_pts(meta) -> int:
+    """Host probe: max blocks per frame where any bit-allocation input
+    changes vs the previous block.  Block 0 of EVERY frame counts as a
+    potential point: chunks start at frame boundaries and the device
+    mask forces a point at each chunk's first block, so the bound must
+    hold for any frame-aligned chunking."""
+    eo = np.asarray(meta["exp_off"])
+    lead = eo.shape[:-2]
+    S = eo.shape[-2]
+    ch = (eo >= 0).any(-1).reshape(-1, S).copy()
+    ch[:, ::6] = True
+    for k in _ALLOC_KEYS:
+        if k not in meta:
+            continue
+        v = np.asarray(meta[k]).reshape(np.prod(lead, dtype=int), S, -1)
+        ch[:, 1:] |= (v[:, 1:] != v[:, :-1]).any(-1)
+    return max(1, int(ch.reshape(-1, S // 6, 6).sum(-1).max()))
 
 
 def static_cpl_fc(meta) -> int:
@@ -156,6 +205,28 @@ def static_cpl_fc(meta) -> int:
         return -1
     fc = np.unique(ch & -ch)
     return int(fc[0]).bit_length() - 1 if fc.size == 1 else -1
+
+
+def _cummax_blocked(x, block=128):
+    """Inclusive cummax along the last axis via two levels: intra-block
+    log-shift cummax over the 128-lane dim (shifts stay inside one vreg
+    tile, so XLA fuses the 7 steps into ~one pass) + a tiny cummax over
+    the G block maxes + one combining max.  jax.lax.cummax over the full
+    2688-slot axis instead lowers to ~log2(n) full-size shifted-max HBM
+    passes -- measured the dominant cost of the leader fills."""
+    if x.shape[-1] % block:
+        return jax.lax.cummax(x, axis=x.ndim - 1)
+    *lead, seg = x.shape
+    G = seg // block
+    xb = x.reshape(*lead, G, block)
+    intra = jax.lax.cummax(xb, axis=xb.ndim - 1)         # 7 lane shifts
+    bmax = intra[..., -1]                                # [*, G]
+    carry = jax.lax.cummax(bmax, axis=bmax.ndim - 1)     # tiny
+    carry = jnp.concatenate(
+        [jnp.full_like(carry[..., :1], _BIG_NEG), carry[..., :-1]],
+        axis=-1)
+    out = jnp.maximum(intra, carry[..., None])
+    return out.reshape(*lead, seg)
 
 
 def _cumsum(x, axis=-1, exclusive=False, block=128):
@@ -414,35 +485,107 @@ def resolve_setters(new_vals, set_mask, carry):
     return out, out[:, -1]
 
 
+def _frame_points(flag, E):
+    """flag [L, S=6F] bool -> (sidx [L, F*E] global block index of the
+    e-th flagged block per frame (padding -> 0), valid [L, F*E], cidx
+    [L, S] compact index f*E + frame-local rank, valid where flag).
+
+    The static bound E >= max flagged blocks per frame is the caller's
+    contract (static_exp_pts / static_alloc_pts)."""
+    L, S = flag.shape
+    F = S // 6
+    hf = flag.reshape(L, F, 6)
+    rank = jnp.cumsum(hf.astype(jnp.int32), axis=-1) - hf      # exclusive
+    b6 = jnp.arange(6, dtype=jnp.int32)
+    pos = []
+    valid = []
+    for e in range(E):
+        sel = hf & (rank == e)                   # <= one block per frame
+        pos.append(jnp.sum(jnp.where(sel, b6, 0), axis=-1))
+        valid.append(jnp.any(sel, axis=-1))
+    pos = jnp.stack(pos, axis=-1)                # [L, F, E]
+    valid = jnp.stack(valid, axis=-1)
+    base = (jnp.arange(F, dtype=jnp.int32) * 6)[None, :, None]
+    sidx = (base + pos).reshape(L, F * E)
+    cidx = ((jnp.arange(F, dtype=jnp.int32) * E)[None, :, None]
+            + rank).reshape(L, S)
+    return sidx, valid.reshape(L, F * E), cidx
+
+
+def _gather_blocks(x, sidx):
+    """x [L, S, ...] -> [L, P, ...] rows at sidx [L, P].
+
+    The index keeps SINGLETON trailing dims: XLA lowers that to a
+    row-slice gather.  An explicitly broadcast_to'd full-shape index
+    instead lowers to an elementwise gather -- measured 26x slower at
+    [1024, 16, 6, 256] (733 ms vs 28 ms on v5e)."""
+    idx = sidx.reshape(sidx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
 def unpack_exponents(frames_u8, meta, carry_exp, plan: RowPlan = None):
     """frames_u8 [L, F, MB] uint8 + meta [L, S=6F, ...] -> resolved
     exponents [L, S, R, 256] int32 (active rows) + new carry rows
     [L, R, 256].  With the default all-features plan R = 7 and rows are
-    the fixed logical order (fbw0..4, cpl, lfe)."""
+    the fixed logical order (fbw0..4, cpl, lfe).
+
+    When plan.exp_pts < 6 the lattice/gather/decode run only on the
+    (at most exp_pts per frame) blocks that carry new exponents; all
+    other blocks resolve by gathering the last setter's compact row --
+    6x less exponent work on steady streams (EXP_REUSE everywhere but
+    block 0)."""
     if plan is None:
         plan = plan_from_meta(meta)
     L, F, MB = frames_u8.shape
     S = 6 * F
     R = plan.R
-    offs, widths = _exp_slots(meta, meta["man_off"], plan)
-    offs = offs.reshape(L, S, R * EXP_ROW_SLOTS)
-    widths = widths.reshape(L, S, R * EXP_ROW_SLOTS)
+    rows7 = np.asarray(plan.rows, np.int32)
+    E = plan.exp_pts
+    compact = E < 6
+    if compact:
+        s_set = meta["exp_off"][..., rows7] >= 0         # [L, S, R]
+        has = jnp.any(s_set, axis=-1)                    # [L, S]
+        sidx, pvalid, cidx = _frame_points(has, E)
+        keys = ("exp_off", "ngrps", "expstr", "man_off", "cplstrt")
+        mc = {k: _gather_blocks(meta[k], sidx)
+              for k in keys if k in meta}
+        # padding points must decode as "no exponent fields": offsets -1
+        mc["exp_off"] = jnp.where(pvalid[..., None], mc["exp_off"], -1)
+        Sp, blocks_per_frame = F * E, E
+    else:
+        mc = meta
+        Sp, blocks_per_frame = S, 6
+
+    offs, widths = _exp_slots(mc, mc["man_off"], plan)
+    offs = offs.reshape(L, Sp, R * EXP_ROW_SLOTS)
+    widths = widths.reshape(L, Sp, R * EXP_ROW_SLOTS)
     pad = plan.exp_block_slots - R * EXP_ROW_SLOTS
     if pad:
         offs = jnp.concatenate(
-            [offs, jnp.broadcast_to(offs[..., -1:], (L, S, pad))], axis=-1)
+            [offs, jnp.broadcast_to(offs[..., -1:], (L, Sp, pad))], axis=-1)
         widths = jnp.concatenate(
-            [widths, jnp.zeros((L, S, pad), jnp.int32)], axis=-1)
-    codes = extract_fields(
+            [widths, jnp.zeros((L, Sp, pad), jnp.int32)], axis=-1)
+    codes = as_u16(extract_fields(
         frames_u8.reshape(L * F, MB),
-        offs.reshape(L * F, 6 * plan.exp_block_slots),
-        widths.reshape(L * F, 6 * plan.exp_block_slots))
-    codes = codes.reshape(L, S, plan.exp_block_slots)[..., : R * EXP_ROW_SLOTS]
-    codes = codes.reshape(L, S, R, EXP_ROW_SLOTS)
-    exp_new = decode_exponents(codes, meta, plan)        # [L, S, R, 256]
-    rows7 = np.asarray(plan.rows, np.int32)
-    set_mask = meta["exp_off"][..., rows7] >= 0          # active rows
-    return resolve_setters(exp_new, set_mask, carry_exp[:, rows7])
+        offs.reshape(L * F, blocks_per_frame * plan.exp_block_slots),
+        widths.reshape(L * F, blocks_per_frame * plan.exp_block_slots)))
+    codes = codes.reshape(L, Sp, plan.exp_block_slots)[..., : R * EXP_ROW_SLOTS]
+    codes = codes.reshape(L, Sp, R, EXP_ROW_SLOTS)
+    exp_new = decode_exponents(codes, mc, plan)          # [L, Sp, R, 256]
+
+    if not compact:
+        set_mask = meta["exp_off"][..., rows7] >= 0      # active rows
+        return resolve_setters(exp_new, set_mask, carry_exp[:, rows7])
+
+    # last-setter resolution against the COMPACT point list: per (s, row)
+    # the setter is the compact index of the last block <= s whose row
+    # has new exponents (-1 -> the chunk carry)
+    idxr = jax.lax.cummax(
+        jnp.where(s_set, cidx[:, :, None], -1), axis=1)  # [L, S, R]
+    allv = jnp.concatenate(
+        [carry_exp[:, None, rows7], exp_new], axis=1)    # [L, Sp+1, R, 256]
+    out = jnp.take_along_axis(allv, (idxr + 1)[..., None], axis=1)
+    return out, out[:, -1]
 
 
 def init_unpack_carry(L: int) -> dict:
@@ -484,11 +627,41 @@ def _hth_row(fscod, halfrate):
 def allocate_rows(exp, meta, plan: RowPlan = None):
     """exp [L, S, R, 256] (active rows) + meta -> bap [L, S, R, 256] i8.
 
-    Recomputes a52_bit_allocate for every (block, row) from the resolved
-    side-info; identical inputs to liba52's cached calls give identical
-    outputs, so recompute-always needs no do_bit_alloc tracking."""
+    Recomputes a52_bit_allocate from the resolved side-info; identical
+    inputs to liba52's cached calls give identical outputs.  When
+    plan.alloc_pts < 6, the band math runs only at change points (blocks
+    where any allocation input differs from the previous block, or new
+    exponents landed -- parse.c's do_bit_alloc triggers) and every other
+    block forward-fills the last point's bap."""
     if plan is None:
         plan = plan_from_meta(meta)
+    if plan.alloc_pts < 6:
+        L, S = exp.shape[:2]
+        ch = jnp.any(meta["exp_off"][..., np.asarray(plan.rows, np.int32)]
+                     >= 0, axis=-1)                      # [L, S]
+        one = jnp.ones((L, 1), bool)
+        for k in _ALLOC_KEYS:
+            if k not in meta:
+                continue
+            v = meta[k].reshape(L, S, -1)
+            d = jnp.any(v[:, 1:] != v[:, :-1], axis=-1)
+            ch = ch | jnp.concatenate([one, d], axis=1)
+        ch = ch.at[:, 0].set(True)
+        sidx, _, cidx = _frame_points(ch, plan.alloc_pts)
+        mc = {k: (_gather_blocks(v, sidx)
+                  if (hasattr(v, "ndim") and v.ndim >= 2
+                      and v.shape[1] == S) else v)
+              for k, v in meta.items()}
+        exp_c = _gather_blocks(exp, sidx)
+        bap_c = _allocate_dense(exp_c, mc, plan)         # [L, P, R, 256]
+        # every block has a point at or before it (chunk block 0 forced)
+        idx = jax.lax.cummax(jnp.where(ch, cidx, -1), axis=1)
+        return jnp.take_along_axis(
+            bap_c, idx[..., None, None].clip(0), axis=1)
+    return _allocate_dense(exp, meta, plan)
+
+
+def _allocate_dense(exp, meta, plan: RowPlan):
     L, S = exp.shape[:2]
     nfch = plan.nfch
     endm = meta["endmant"][..., :nfch]                   # [L, S, nfch]
@@ -629,10 +802,10 @@ def unpack_cplco(frames_u8, meta, carry_cplco):
     L, F, MB = frames_u8.shape
     S = 6 * F
     offs, widths = _cplco_slots(meta)
-    codes = extract_fields(
+    codes = as_u16(extract_fields(
         frames_u8.reshape(L * F, MB),
         offs.reshape(L * F, 6 * CPLCO_BLOCK_SLOTS),
-        widths.reshape(L * F, 6 * CPLCO_BLOCK_SLOTS))
+        widths.reshape(L * F, 6 * CPLCO_BLOCK_SLOTS)))
     codes = codes.reshape(L, S, CPLCO_BLOCK_SLOTS)
 
     c = codes[..., :185].reshape(L, S, 5, 37)
@@ -892,10 +1065,10 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
                + 5 * ((cnt1 + 2) // 3) + 7 * ((cnt2 + 2) // 3)
                + 7 * ((cnt4 + 1) // 2) + cs[..., 3, :])
 
-    codes = extract_fields(
+    codes = as_u16(extract_fields(
         frames_u8.reshape(L * F, MB),
         offsets.reshape(L * F, 6 * seg),
-        w.reshape(L * F, 6 * seg)).reshape(L, S, seg)
+        w.reshape(L * F, 6 * seg))).reshape(L, S, seg)
 
     # grouped-class leader propagation (quantizer_set_t carries,
     # parse.c:43-50): forward-fill the leader's code along the lattice.
@@ -905,7 +1078,7 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
     pk = jnp.stack(
         [jnp.where(r, (slot_no << 7) | codes, -1)
          for r in (reads1, reads2, reads4)], axis=-2)    # [L, S, 3, seg]
-    led = jax.lax.cummax(pk, axis=pk.ndim - 1) & 127
+    led = _cummax_blocked(pk) & 127
     c1, c2, c4 = led[..., 0, :], led[..., 1, :], led[..., 2, :]
     m1 = cnt1 % 3
     d1 = jnp.where(m1 == 0, c1 // 9,
@@ -956,17 +1129,27 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
             d_off = abs_ord[..., : nfch * 256]
             dseg = nfch * 256
         d_off = d_off.reshape(L * F, 6 * dseg)
-        # per-tile wrap rebase into the doubled orbit table (tile MIN
+        # per-group wrap rebase into the doubled orbit table (group MIN
         # keeps every rebased entry nonnegative under the rank-lattice
-        # sawtooth)
-        Td = d_off.shape[1] // 128
-        d_t = d_off.reshape(-1, Td, 128)
+        # sawtooth).  The group width must match the gather kernel's
+        # window grouping: 1024-slot mega steps (or 128-slot tiles in
+        # the fallback form).
+        from .bitgather import MEGA
+        G = 1024 if MEGA else 128
+        Sd = d_off.shape[1]
+        padn = (-Sd) % G
+        if padn:
+            d_off = jnp.concatenate(
+                [d_off, jnp.broadcast_to(d_off[:, -1:], (L * F, padn))],
+                axis=1)
+        d_t = d_off.reshape(L * F, -1, G)
         tmin = d_t.min(axis=-1, keepdims=True)
         d_t = ((tmin % 65535) + (d_t - tmin)) * 16
         states = extract_fields_shared(
             jnp.asarray(_dither_orbit_bytes()),
-            d_t.reshape(L * F, 6 * dseg)).reshape(L, S, dseg)
-        st = states - ((states >> 15) << 16)             # int16 view
+            d_t.reshape(L * F, Sd + padn))[:, :Sd].reshape(L, S, dseg)
+        # the int16 wire value IS the signed LFSR state
+        st = states.astype(jnp.int32)
         dval = ((3 * st) >> 2).astype(jnp.float32)
         dv_fbw = dval[..., : nfch * 256].reshape(L, S, nfch, 256)
         if plan.has_cpl:
@@ -1052,7 +1235,7 @@ def remat_mask(meta):
 
 
 def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5,
-                  cpl_fc: int = -1):
+                  cpl_fc: int = -1, exp_pts: int = 6, alloc_pts: int = 6):
     """Full raw-H2D device unpack: frame bytes + meta -> pipeline blocks.
 
     frames_u8 [L, F, MB] uint8; meta: stacked raw records [L, S, ...]
@@ -1067,7 +1250,7 @@ def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5,
     L, F, MB = frames_u8.shape
     S = 6 * F
     meta = widen_meta(meta)
-    plan = plan_from_meta(meta, nfch, cpl_fc)
+    plan = plan_from_meta(meta, nfch, cpl_fc, exp_pts, alloc_pts)
     rows7 = np.asarray(plan.rows, np.int32)
 
     exp, exp_rows = unpack_exponents(frames_u8, meta, carry["exp"], plan)

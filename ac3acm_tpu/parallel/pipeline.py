@@ -247,7 +247,8 @@ def _pipeline_cached(fmt: StreamFormat, mesh, emit_int16: bool,
 def raw_batched_pipeline(fmt: StreamFormat, mesh=None,
                          emit_int16: bool = False, steady: bool = False,
                          long_only: bool = False, cpl_fc: int = -1,
-                         pallas: bool = False):
+                         pallas: bool = False, exp_pts: int = 6,
+                         alloc_pts: int = 6):
     """Raw-H2D decode: jitted (carry, frames_u8, meta, bias) -> (carry, pcm).
 
     The host ships raw AC-3 frame bytes [B, F, MB] plus per-block side-
@@ -273,14 +274,17 @@ def raw_batched_pipeline(fmt: StreamFormat, mesh=None,
     from ..ops import pallas_steady as PS
     hilo = bool(PS.HILO) if pallas else False
     return _raw_pipeline_cached(fmt, mesh, emit_int16, steady, long_only,
-                                cpl_fc, pallas, hilo)
+                                cpl_fc, pallas, hilo, exp_pts, alloc_pts)
 
 
 @lru_cache(maxsize=32)
 def _raw_pipeline_cached(fmt: StreamFormat, mesh, emit_int16: bool,
                          steady: bool, long_only: bool, cpl_fc: int,
-                         pallas: bool, hilo: bool):
-    from ..ops.unpack_device import unpack_blocks
+                         pallas: bool, hilo: bool, exp_pts: int = 6,
+                         alloc_pts: int = 6):
+    from ..ops.unpack_device import unpack_blocks as _ub
+    from functools import partial as _partial
+    unpack_blocks = _partial(_ub, exp_pts=exp_pts, alloc_pts=alloc_pts)
 
     if pallas:
         eligible = (steady and long_only and emit_int16 and mesh is None
@@ -620,7 +624,8 @@ class BatchedDecoder:
         """Shared tail of the raw-H2D paths: ship frame bytes + meta,
         unpack and decode on device."""
         from ..ops.unpack_device import (init_unpack_carry, prune_raw_meta,
-                                         static_cpl_fc)
+                                         static_alloc_pts, static_cpl_fc,
+                                         static_exp_pts)
         L, nf = fu8.shape[:2]
         # drop meta keys for features absent from the whole chunk (delta
         # bit allocation, coupling, dither, LFE): the jit specializes on
@@ -637,7 +642,9 @@ class BatchedDecoder:
         bias = np.full((L, T.NB_BLOCKS * nf), self.bias, np.float32)
         fn = raw_batched_pipeline(fmt, self.mesh, self.emit_int16,
                                   steady=steady, long_only=lo,
-                                  cpl_fc=static_cpl_fc(meta))
+                                  cpl_fc=static_cpl_fc(meta),
+                                  exp_pts=static_exp_pts(meta),
+                                  alloc_pts=static_alloc_pts(meta))
         self._fmt = fmt
         carry = (self._raw_carry, self._carry)
         (self._raw_carry, self._carry), pcm = fn(carry, fu8, meta, bias)

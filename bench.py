@@ -451,8 +451,12 @@ def bench_config2_raw_device(batch, nframes):
     fu8 = bcast(fu8_1)
     meta = {k: bcast(v) for k, v in meta1.items()}
     bias = jnp.full((batch, 6 * nframes), 384.0, jnp.float32)
+    from ac3acm_tpu.ops.unpack_device import (static_alloc_pts,
+                                              static_exp_pts)
     fn = raw_batched_pipeline(fmt, emit_int16=True, steady=steady,
-                              long_only=lo, cpl_fc=static_cpl_fc(meta1))
+                              long_only=lo, cpl_fc=static_cpl_fc(meta1),
+                              exp_pts=static_exp_pts(meta1),
+                              alloc_pts=static_alloc_pts(meta1))
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
     state = {"c": (init_unpack_carry(batch), init_batched_carry(batch))}
     K = int(os.environ.get("BENCH_PIPE_K", "4"))

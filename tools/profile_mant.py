@@ -61,7 +61,9 @@ def main():
                        slev_zero=bool(r["fmt"][0, 0, 2]),
                        chanbias=int(recs[0]["chanbias"]))
     cpl_fc = U.static_cpl_fc(meta1)
-    plan = U.plan_from_meta(meta1, fmt.nfchans, cpl_fc)
+    plan = U.plan_from_meta(meta1, fmt.nfchans, cpl_fc,
+                            U.static_exp_pts(meta1),
+                            U.static_alloc_pts(meta1))
     print(f"plan: {plan}, seg={plan.seg}, MB={mb}")
 
     def bcast(x):

@@ -69,7 +69,9 @@ def main():
     meta_h = {k: bcast(v) for k, v in meta1.items()}
     bias = jnp.full((batch, 6 * nframes), 384.0, jnp.float32)
     cpl_fc = U.static_cpl_fc(meta1)
-    plan = U.plan_from_meta(meta1, fmt.nfchans, cpl_fc)
+    plan = U.plan_from_meta(meta1, fmt.nfchans, cpl_fc,
+                            U.static_exp_pts(meta1),
+                            U.static_alloc_pts(meta1))
     print(f"plan: {plan}, steady={steady}, long_only={lo}, "
           f"seg={plan.seg}, MB={mb}")
 
@@ -121,7 +123,9 @@ def main():
     timed("full", stage_full, fu8, meta_h, carry, bias)
 
     fn = raw_batched_pipeline(fmt, emit_int16=True, steady=steady,
-                              long_only=lo, cpl_fc=cpl_fc)
+                              long_only=lo, cpl_fc=cpl_fc,
+                              exp_pts=plan.exp_pts,
+                              alloc_pts=plan.alloc_pts)
     state = (U.init_unpack_carry(batch), init_batched_carry(batch))
     out = fn(state, fu8, meta_h, bias)
     _ = float(chk(out[1]))
