@@ -100,6 +100,92 @@ def _kernel_mega(fr, U, starts_ref, planes_ref, offs_ref, widths_ref,
         out_ref[0, pl.ds(u, 1)] = val.astype(jnp.int16)
 
 
+def _kernel_mega_i16(fr, U, starts_ref, planes_ref, offs_ref, out_ref):
+    """Aligned 16-bit table gather (the dither-orbit shape): offsets are
+    ENTRY indices into a shared i16-value table stored as two exact bf16
+    byte planes (hi<<8, lo), window-relative int16 on the wire.  No
+    widths input, no shift/mask epilogue -- vs the general bitfield
+    kernel this is 2 planes instead of 3, ~1/3 less matmul M and
+    epilogue, and 3 B/slot less DMA."""
+    W = offs_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+    rel32 = offs_ref[0].astype(jnp.int32)                 # [U, W] entries
+    for u in range(U):
+        row = starts_ref[0, 0, u]
+        win = planes_ref[0, pl.ds(row * 2, fr * 2), :].astype(jnp.bfloat16)
+        rel = rel32[u:u + 1]                              # [1, W]
+        lo = rel & 127
+        hi = rel >> 7
+        oh = (lane == lo).astype(jnp.bfloat16)            # [128, W]
+        t = jax.lax.dot_general(
+            win, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2*fr, W]
+        w16 = jnp.zeros((1, W), jnp.float32)
+        for c in range(2 * fr):
+            w16 = w16 + jnp.where(hi == (c // 2), t[c:c + 1, :], 0.0)
+        out_ref[0, pl.ds(u, 1)] = w16.astype(jnp.int32).astype(jnp.int16)
+
+
+@lru_cache(maxsize=16)
+def _build_mega_i16(N: int, U: int, rows: int, fr: int):
+    W = TPG * TS
+    grid_spec = pl.GridSpec(
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 1, U), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * rows, 128), lambda n: (0, 0, 0)),
+            pl.BlockSpec((1, U, W), lambda n: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, U, W), lambda n: (n, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_kernel_mega_i16, fr, U),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, U, W), jnp.int16),
+        interpret=INTERPRET or jax.default_backend() != "tpu",
+    )
+
+
+# i16-table window rows: (fr-1)*128 entries of usable span per 1024-slot
+# step; the dither rank lattice advances ~1 entry per slot (~1030).
+MEGA_FR_I16 = 12
+
+
+def extract_i16_table(table, offsets):
+    """Gather int16 values from ONE shared table at per-slot ENTRY
+    indices (aligned-16-bit fast path of extract_fields_shared).
+
+    table [TB] int16 (or any 16-bit view); offsets [N, S] int32 entry
+    indices.  The 1024-slot step-span contract applies in ENTRY units:
+    span <= (MEGA_FR_I16-1)*128 past the step minimum."""
+    N, S = offsets.shape
+    tab = np.ascontiguousarray(np.asarray(table, np.int16))
+    hi = jnp.asarray((tab.view(np.uint16) >> 8).astype(np.float32) * 256.0)
+    lo = jnp.asarray((tab.view(np.uint16) & 0xFF).astype(np.float32))
+    TB = tab.shape[0]
+    rows = -(-TB // 128) + 1
+    pad = rows * 128 - TB
+    hi = jnp.pad(hi, (0, pad))
+    lo = jnp.pad(lo, (0, pad))
+    planes = jnp.stack([hi.reshape(rows, 128), lo.reshape(rows, 128)],
+                       axis=1).reshape(1, 2 * rows, 128)  # row-interleaved
+    W = TPG * TS
+    U = -(-S // W)
+    padn = U * W - S
+    if padn:
+        offsets = jnp.concatenate(
+            [offsets, jnp.broadcast_to(offsets[:, -1:], (N, padn))], axis=1)
+    fr = min(MEGA_FR_I16, rows)
+    offsets = offsets.reshape(N, U, W)
+    starts = offsets.min(axis=2) >> 7
+    starts = jnp.minimum(starts, rows - fr)
+    rel = (offsets - (starts << 7)[..., None]).astype(jnp.int16)
+    out = _build_mega_i16(N, U, rows, fr)(
+        starts.reshape(N, 1, U), planes, rel)
+    return out.reshape(N, U * W)[:, :S]
+
+
 def _kernel(win_rows, flat, starts_ref, planes_ref, offs_ref, widths_ref,
             out_ref):
     u = pl.program_id(1)

@@ -512,6 +512,53 @@ def _frame_points(flag, E):
     return sidx, valid.reshape(L, F * E), cidx
 
 
+def _fill_from_points(vals, pos, valid, init, S):
+    """Gather-free state fill from per-frame change points.
+
+    vals [L, F, E, R, K] point values; pos [L, F, E] block position
+    (0..5) of each point within its frame; valid [L, F, E, R] per-row
+    point validity (broadcast a row axis for block-level validity);
+    init [L, R, K] chunk-entry state.  Returns (out [L, 6F, R, K],
+    carry [L, R, K]).
+
+    Semantics: block b of frame f sees the latest valid point at
+    (f' < f) or (f' == f, pos <= b); before any point, init.  Built
+    from where-selects and a log-depth frame scan only -- the
+    take_along_axis fill this replaces lowers to a gather measured at
+    tens of ms for [L, S, R, 256] shapes."""
+    L, F, E, R, K = vals.shape
+    # frame-final state per row (last valid point of the frame)
+    fv = jnp.zeros((L, F, R, K), vals.dtype)
+    fh = jnp.zeros((L, F, R), bool)
+    for e in range(E):
+        fv = jnp.where(valid[:, :, e, :, None], vals[:, :, e], fv)
+        fh = fh | valid[:, :, e]
+    # forward-fill across frames, seeded with init before frame 0
+    v = jnp.concatenate([init[:, None], fv], axis=1)      # [L, F+1, R, K]
+    h = jnp.concatenate([jnp.ones((L, 1, R), bool), fh], axis=1)
+    d = 1
+    while d <= F:
+        vs = jnp.concatenate(
+            [jnp.broadcast_to(v[:, :1], (L, d, R, K)), v[:, :-d]], axis=1)
+        hs = jnp.concatenate([jnp.zeros((L, d, R), bool), h[:, :-d]],
+                             axis=1)
+        v = jnp.where(h[..., None], v, vs)
+        h = h | hs
+        d *= 2
+    prev = v[:, :-1]                                      # state BEFORE f
+    carry = v[:, -1]
+    # within-frame: apply points at pos <= b in ascending order
+    outs = []
+    for b in range(6):
+        ob = prev
+        for e in range(E):
+            sel = valid[:, :, e] & (pos[:, :, e, None] <= b)
+            ob = jnp.where(sel[..., None], vals[:, :, e], ob)
+        outs.append(ob)
+    out = jnp.stack(outs, axis=2).reshape(L, 6 * F, R, K)
+    return out, carry
+
+
 def _gather_blocks(x, sidx):
     """x [L, S, ...] -> [L, P, ...] rows at sidx [L, P].
 
@@ -577,15 +624,13 @@ def unpack_exponents(frames_u8, meta, carry_exp, plan: RowPlan = None):
         set_mask = meta["exp_off"][..., rows7] >= 0      # active rows
         return resolve_setters(exp_new, set_mask, carry_exp[:, rows7])
 
-    # last-setter resolution against the COMPACT point list: per (s, row)
-    # the setter is the compact index of the last block <= s whose row
-    # has new exponents (-1 -> the chunk carry)
-    idxr = jax.lax.cummax(
-        jnp.where(s_set, cidx[:, :, None], -1), axis=1)  # [L, S, R]
-    allv = jnp.concatenate(
-        [carry_exp[:, None, rows7], exp_new], axis=1)    # [L, Sp+1, R, 256]
-    out = jnp.take_along_axis(allv, (idxr + 1)[..., None], axis=1)
-    return out, out[:, -1]
+    # last-setter resolution against the COMPACT point list, gather-free:
+    # per-row point validity comes from the gathered exp_off (a padding
+    # point has exp_off -1 everywhere), point block positions from sidx
+    valid_er = (mc["exp_off"][..., rows7] >= 0).reshape(L, F, E, R)
+    pos = (sidx % 6).reshape(L, F, E)
+    return _fill_from_points(exp_new.reshape(L, F, E, R, 256), pos,
+                             valid_er, carry_exp[:, rows7], S)
 
 
 def init_unpack_carry(L: int) -> dict:
@@ -647,17 +692,25 @@ def allocate_rows(exp, meta, plan: RowPlan = None):
             d = jnp.any(v[:, 1:] != v[:, :-1], axis=-1)
             ch = ch | jnp.concatenate([one, d], axis=1)
         ch = ch.at[:, 0].set(True)
-        sidx, _, cidx = _frame_points(ch, plan.alloc_pts)
+        Ea = plan.alloc_pts
+        F = S // 6
+        sidx, pvalid, _ = _frame_points(ch, Ea)
         mc = {k: (_gather_blocks(v, sidx)
                   if (hasattr(v, "ndim") and v.ndim >= 2
                       and v.shape[1] == S) else v)
               for k, v in meta.items()}
         exp_c = _gather_blocks(exp, sidx)
         bap_c = _allocate_dense(exp_c, mc, plan)         # [L, P, R, 256]
-        # every block has a point at or before it (chunk block 0 forced)
-        idx = jax.lax.cummax(jnp.where(ch, cidx, -1), axis=1)
-        return jnp.take_along_axis(
-            bap_c, idx[..., None, None].clip(0), axis=1)
+        # gather-free fill (chunk block 0 is always a point, so the
+        # zero init is never observed)
+        R = bap_c.shape[2]
+        valid = jnp.broadcast_to(pvalid.reshape(L, F, Ea, 1),
+                                 (L, F, Ea, R))
+        pos = (sidx % 6).reshape(L, F, Ea)
+        bap, _ = _fill_from_points(
+            bap_c.reshape(L, F, Ea, R, 256), pos, valid,
+            jnp.zeros((L, R, 256), bap_c.dtype), S)
+        return bap
     return _allocate_dense(exp, meta, plan)
 
 
@@ -865,18 +918,24 @@ def _chain(idx, levels):
 
 
 @lru_cache(maxsize=1)
-def _dither_orbit_bytes() -> np.ndarray:
-    """LFSR orbit (period 65535) as big-endian u16 states, doubled for
-    wrap-free windowed gathers.  Draw k starting from state 1 returns
-    orbit[k] (dither_gen semantics, parse.c:310-319)."""
+def _dither_orbit_u16() -> np.ndarray:
+    """LFSR orbit (period 65535) as u16 states, doubled for wrap-free
+    windowed gathers.  Draw k starting from state 1 returns orbit[k]
+    (dither_gen semantics, parse.c:310-319)."""
     lut = np.asarray(T.dither_lut(), np.uint32)
     vals = np.empty(65535, np.uint16)
     s = 1
     for k in range(65535):
         s = int(lut[s >> 8] ^ ((s << 8) & 0xFFFF))
         vals[k] = s
-    doubled = np.concatenate([vals, vals]).astype(">u2")
-    return np.frombuffer(doubled.tobytes(), np.uint8)
+    return np.concatenate([vals, vals])
+
+
+@lru_cache(maxsize=1)
+def _dither_orbit_bytes() -> np.ndarray:
+    """Big-endian byte view of the doubled orbit (per-tile fallback)."""
+    return np.frombuffer(_dither_orbit_u16().astype(">u2").tobytes(),
+                         np.uint8)
 
 
 def _first_cpl(chincpl, nfch):
@@ -1134,7 +1193,7 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
         # sawtooth).  The group width must match the gather kernel's
         # window grouping: 1024-slot mega steps (or 128-slot tiles in
         # the fallback form).
-        from .bitgather import MEGA
+        from .bitgather import MEGA, extract_i16_table
         G = 1024 if MEGA else 128
         Sd = d_off.shape[1]
         padn = (-Sd) % G
@@ -1144,10 +1203,18 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
                 axis=1)
         d_t = d_off.reshape(L * F, -1, G)
         tmin = d_t.min(axis=-1, keepdims=True)
-        d_t = ((tmin % 65535) + (d_t - tmin)) * 16
-        states = extract_fields_shared(
-            jnp.asarray(_dither_orbit_bytes()),
-            d_t.reshape(L * F, Sd + padn))[:, :Sd].reshape(L, S, dseg)
+        if MEGA:
+            # aligned-16-bit fast path: gather orbit VALUES by entry
+            # index (2 exact byte planes, no widths wire, no shift/mask)
+            d_t = (tmin % 65535) + (d_t - tmin)
+            states = extract_i16_table(
+                _dither_orbit_u16(),
+                d_t.reshape(L * F, Sd + padn))[:, :Sd].reshape(L, S, dseg)
+        else:
+            d_t = ((tmin % 65535) + (d_t - tmin)) * 16
+            states = extract_fields_shared(
+                jnp.asarray(_dither_orbit_bytes()),
+                d_t.reshape(L * F, Sd + padn))[:, :Sd].reshape(L, S, dseg)
         # the int16 wire value IS the signed LFSR state
         st = states.astype(jnp.int32)
         dval = ((3 * st) >> 2).astype(jnp.float32)

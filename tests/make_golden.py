@@ -13,6 +13,8 @@ at the relevant rates.
 
 Run: python tests/make_golden.py
 """
+import os
+
 import numpy as np
 
 from tests.refbuild import get_ref
@@ -47,6 +49,14 @@ ANNOTATIONS = {
     "overdrive_51_448.ac3":
         "near-full-scale correlated 5.1: 'likely to overdrive output "
         "if not properly downmixed' (zorro analogue)",
+    "realaudio_51_448.ac3":
+        "third-party RECORDED audio (pygame's example WAVs: door slam, "
+        "explosion, music loop -- content not produced by this repo's "
+        "tooling) through the compiled reference encoder: transients + "
+        "broadband real-world spectra.  Closest offline analogue of the "
+        "reference corpus's commercial streams; an independently ENCODED "
+        "coupling/short-block stream additionally needs an encoder this "
+        "zero-egress environment does not have (see CORPUS.md)",
 }
 
 # reference-encoder streams: (name, nch, kbps, freq, nframes, seed, loud)
@@ -69,6 +79,38 @@ GEN_SPECS = [
     ("blksw20_hazard.ac3", dict(seed=502, acmod=2, lfeon=False, nframes=6,
                                 want_blksw=True)),
 ]
+
+
+def real_audio_pcm(nch, nframes):
+    """Third-party recorded audio: pygame's example WAVs (8-bit mono
+    11025 Hz recordings shipped with the pygame package -- door slam,
+    explosion, music loop), linearly resampled to 48 kHz and laid out
+    across channels with varied gains/offsets.  The AUDIO CONTENT is
+    independent of this repo's signal generators; the encoder is the
+    compiled reference ac3enc."""
+    import wave
+
+    import pygame.examples
+    base = os.path.join(os.path.dirname(pygame.examples.__file__), "data")
+    srcs = []
+    for name in ("house_lo.wav", "boom.wav", "car_door.wav"):
+        with wave.open(os.path.join(base, name)) as w:
+            raw = np.frombuffer(w.readframes(w.getnframes()), np.uint8)
+            sr = w.getframerate()
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+        t = np.arange(int(len(x) * 48000 / sr)) * (sr / 48000.0)
+        i0 = np.minimum(t.astype(np.int64), len(x) - 2)
+        frac = t - i0
+        srcs.append(x[i0] * (1 - frac) + x[i0 + 1] * frac)
+    n = nframes * 1536
+    chans = []
+    for c in range(nch):
+        s = srcs[c % len(srcs)]
+        off = (c * 4801) % max(1, len(s) - 1)
+        tiled = np.tile(np.roll(s, -off), n // len(s) + 1)[:n]
+        chans.append(tiled * (0.9 - 0.07 * c))
+    pcm = np.stack(chans, -1) * 28000.0
+    return np.clip(pcm, -32767, 32767).astype(np.int16)
 
 
 def loud_pcm(nch, nframes, seed):
@@ -96,6 +138,14 @@ if __name__ == "__main__":
         np.save(f"tests/golden/{name}.stereo_float.npy",
                 blocks.astype(np.float32))
         print(name, len(es), blocks.shape, ANNOTATIONS[name])
+
+    pcm = real_audio_pcm(6, 8)
+    es = ref.encode(pcm, 48000, 448)
+    open("tests/golden/realaudio_51_448.ac3", "wb").write(es)
+    _, blocks = ref.decode_stream(es, 2)
+    np.save("tests/golden/realaudio_51_448.ac3.stereo_float.npy",
+            blocks.astype(np.float32))
+    print("realaudio_51_448.ac3", len(es), blocks.shape)
 
     from tests.streamgen import gen_frame, gen_stream
 
@@ -141,3 +191,18 @@ if __name__ == "__main__":
                 "contained).\n\n")
         for k, v in ANNOTATIONS.items():
             f.write(f"- `{k}` — {v}\n")
+        f.write(
+            "\n## Independence\n\n"
+            "Reference analogue: the upstream regression corpus is 8 "
+            "commercial streams (a52dec test/tests).  Here "
+            "`realaudio_51_448.ac3` carries third-party RECORDED audio "
+            "(pygame's packaged WAV recordings) through the compiled "
+            "reference encoder — both the content and the encoder are "
+            "independent of this repo's generators.  A third-party "
+            "stream that also exercises COUPLING or SHORT BLOCKS would "
+            "need an independent encoder emitting those tools (e.g. "
+            "ffmpeg, or ATSC conformance vectors); this build "
+            "environment has zero network egress and ships no such "
+            "encoder or vectors, so those hazards remain covered by "
+            "tests/streamgen.py bitstreams (decoded by the compiled "
+            "reference as the oracle).\n")
