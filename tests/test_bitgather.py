@@ -116,3 +116,23 @@ def test_mega_matches_per_tile_fallback():
     want = BG.reference_extract(data, offs, widths)
     assert (got_mega == want).all()
     assert (got_tile == want).all()
+
+
+def test_extract_i16_table():
+    """Aligned-16-bit table gather (the dither-orbit fast path): entry-
+    indexed values from a shared int16 table, per-1024-slot-step span
+    contract, incl. negative (high-bit) values."""
+    rng = np.random.default_rng(17)
+    TB = 131070
+    table = rng.integers(-32768, 32768, TB).astype(np.int16)
+    G = BG.TPG * BG.TS
+    N, S = 2, 2 * G
+    offs = np.zeros((N, S), np.int32)
+    for n in range(N):
+        for t in range(S // G):
+            base = int(rng.integers(0, TB - 2 * G))
+            saw = rng.integers(0, 4, G)
+            offs[n, t * G:(t + 1) * G] = base + np.arange(G) + saw
+    got = np.asarray(BG.extract_i16_table(table, jnp.asarray(offs)))
+    want = table[offs]
+    assert (got == want).all(), np.argwhere(got != want)[:5]
