@@ -234,16 +234,20 @@ def _deposit_batched(planes, w, nwords: int):
     values <= 255 so bf16 is exact), w [N, T] int32
     -> [N, 8, nwords] float32.
 
-    The word index factors as w = hi*8 + lo, splitting the deposit into
-    two one-hots whose build cost is T*(64 + nwords/8) instead of
-    T*nwords: the lo one-hot folds into the plane axis (8 planes x 8
-    residues = 64 MXU rows -- 4x better systolic-array row utilization
-    than the raw 8 planes) and the hi one-hot shrinks 8x.  Neither is
-    materialized in HBM (XLA fuses the compares into the contraction's
-    operand loads).  Measured at the c4 shape [4096, 8, ~4k] x 642
-    words: 15.4 ms flat -> 4.1 ms factored.  A VMEM-resident Pallas
-    formulation was tried and measured slower (17 ms), as was the flat
-    [N, 8, T] x [N, T, W] einsum (12.6-15.4 ms)."""
+    The word index factors as w = hi*W2 + lo, splitting the deposit into
+    two one-hots: the lo one-hot folds into the plane axis (8 planes x
+    W2 residues = MXU rows) and the hi one-hot shrinks W2-fold.  Neither
+    is materialized in HBM (XLA fuses the compares into the
+    contraction's operand loads).
+
+    W2 = 8 is the measured optimum at the c4 shape ([4096, 8, 7680] x
+    1282 words, on chip): 28.6 ms.  W2 = 16 looks better on a pure
+    MXU-cycle model (M = 128 fills one row tile, one N tile) but
+    measures 55.1 ms -- XLA stops fusing the [N, 8*W2, T] lhs
+    broadcast-multiply at that size and materializes ~12 GB through
+    HBM.  A VMEM-resident Pallas formulation and the flat
+    [N,8,T] x [N,T,W] einsum also measured slower (17 / 12.6-15.4 ms at
+    the smaller r3 shape)."""
     N = planes.shape[0]
     W2 = 8
     W1 = (nwords + W2 - 1) // W2
@@ -251,7 +255,7 @@ def _deposit_batched(planes, w, nwords: int):
             == jnp.arange(W2)[:, None]).astype(jnp.bfloat16)   # [N,W2,T]
     lhs = (planes[:, :, None, :] * ohlo[:, None, :, :]).reshape(
         N, 8 * W2, -1)                                         # [N,64,T]
-    ohhi = ((w >> 3)[:, :, None] == jnp.arange(W1)).astype(jnp.bfloat16)
+    ohhi = ((w // W2)[:, :, None] == jnp.arange(W1)).astype(jnp.bfloat16)
     acc = jnp.einsum("nkt,ntw->nkw", lhs, ohhi,
                      preferred_element_type=jnp.float32)       # [N,64,W1]
     acc = acc.reshape(N, 8, W2, W1).transpose(0, 1, 3, 2)
