@@ -178,6 +178,8 @@ def extract_i16_table(table, offsets):
             [offsets, jnp.broadcast_to(offsets[:, -1:], (N, padn))], axis=1)
     fr = min(MEGA_FR_I16, rows)
     offsets = offsets.reshape(N, U, W)
+    if SPAN_CHECK:
+        _check_spans("i16", offsets, (fr - 1) * 128)
     starts = offsets.min(axis=2) >> 7
     starts = jnp.minimum(starts, rows - fr)
     rel = (offsets - (starts << 7)[..., None]).astype(jnp.int16)
@@ -272,6 +274,8 @@ def _run_mega(data_rows, offsets, widths, shared: bool, fr: int):
     fr = min(fr, rows)
     offsets = offsets.reshape(N, U, W)
     widths = widths.reshape(N, U, W)
+    if SPAN_CHECK:
+        _check_spans("bits", offsets, (fr - 2) * 128 * 8)
     starts = offsets.min(axis=2) >> 10
     starts = jnp.minimum(starts, rows - fr)
     # narrow wire forms (see _kernel_mega): window-relative i16 offsets,
@@ -345,6 +349,8 @@ def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
     # slots), only bounded -- the span must still fit the window
     starts = (offsets.reshape(N, T, TS).min(axis=2) >> 10).reshape(N, 1, T)
     offsets = offsets.reshape(N, T, TS)
+    if SPAN_CHECK:
+        _check_spans("tile", offsets, (flat - 128 - 3) * 8)
     widths = widths.reshape(N, T, TS)
     rows = data_rows.shape[1]
     out = _build(N, T, rows, shared, win_rows, flat)(
@@ -359,13 +365,41 @@ def _run(data_rows, offsets, widths, shared: bool, win_rows: int,
 # the wider step-span contract (no production caller does).
 MEGA = True
 
-# mega window rows: (fr-2)*128 = 2560 bytes of usable span per 1024-slot
-# step.  Monotone width-consuming lattices span <= 16 bits/slot = 2048 B
-# plus inter-block jumps (codes: ~200 B; exponents: <= 2 block strides
-# ~1.3 KB at the 3840-byte max frame, with only ~530 B of field bits on
-# top) -- all under 2560.  The dither rank lattice advances ~1 ordinal
-# (2 B) per slot: ~2.1 KB.  VMEM cost is fr*3 rows = 33 KB: negligible.
-MEGA_FR = 22
+# mega window rows: (fr-2)*128 = 2816 bytes of usable span per 1024-slot
+# step.  Worst-case span bound for the lattices dispatched here:
+#   * mantissa codes: offsets are monotone in coded order; 1024 live
+#     slots consume <= 16 bits each = 2048 B, plus ONE inter-block jump
+#     when a step straddles a block boundary (per-block side info ahead
+#     of the next mantissa region: exponents <= ~530 B + bai/deltba/skip
+#     <= ~60 B) -> <= 2648 B,
+#   * exponents: one step never covers more than one block/point
+#     (ops.unpack_device pads multi-point frames to 1024 slots/point),
+#     and one block's exponent fields span <= 7*602 bits = 527 B.
+# Both fit 2816 with margin.  The non-monotone cpl-dither rank lattice
+# does NOT ride this kernel (it dispatches to the per-tile form whose
+# 128-slot tiles never straddle its segment boundaries).  VMEM cost is
+# fr*3 rows = 36 KB: negligible.
+MEGA_FR = 24
+
+# Debug span guard (tests): when True, every mega-step dispatch checks
+# the per-step offset span against the window contract and records
+# violations in SPAN_VIOLATIONS via jax.debug.callback (works eagerly
+# and under jit/interpret).  Off in production: the layouts above make
+# the contract structural, and the check costs a host sync.
+SPAN_CHECK = False
+SPAN_VIOLATIONS: list = []
+
+
+def _record_span(tag, max_span, limit):
+    if int(max_span) > int(limit):
+        SPAN_VIOLATIONS.append((tag, int(max_span), int(limit)))
+
+
+def _check_spans(tag, offsets_nuw, usable):
+    """offsets_nuw [N, U, W]; usable = max allowed (max-min) per step,
+    in the offsets' own units (bits for bitfields, entries for i16)."""
+    span = (offsets_nuw.max(axis=2) - offsets_nuw.min(axis=2)).max()
+    jax.debug.callback(partial(_record_span, tag), span, usable)
 
 
 def as_u16(codes):
@@ -393,19 +427,22 @@ def extract_fields(data, offsets, widths):
                 win_rows=5, flat=512).astype(jnp.int16)
 
 
-def extract_fields_shared(table, offsets, widths=None, span_rows=14):
+def extract_fields_shared(table, offsets, widths=None, span_rows=14,
+                          per_tile=False):
     """Gather 16-bit fields from ONE shared byte table for all rows.
 
     table [TB] uint8; offsets [N, S] int32 bit offsets.  Returns int16
     wire values (see extract_fields; reinterpret with as_u16).  Mega
     form: the 1024-slot step-span contract of extract_fields applies
     (the caller's per-step min-rebase must use 1024-slot groups).
-    Per-tile fallback: per 128-slot tile the offsets may span up to
-    (span_rows-3)*128 bytes."""
+    Per-tile form (per_tile=True, or MEGA off): per 128-slot tile the
+    offsets may span up to (span_rows-3)*128 bytes -- callers whose
+    layouts are only tile-wise bounded (the cpl-dither rank lattice)
+    MUST pass per_tile=True."""
     N, S = offsets.shape
     if widths is None:
         widths = jnp.full((N, S), 16, jnp.int32)
-    if MEGA:
+    if MEGA and not per_tile:
         tab = _to_planes(table[None, :], 5)
         return _run_mega(tab, offsets, widths, shared=True, fr=MEGA_FR)
     tab = _to_planes(table[None, :], span_rows)

@@ -606,7 +606,16 @@ def unpack_exponents(frames_u8, meta, carry_exp, plan: RowPlan = None):
     offs, widths = _exp_slots(mc, mc["man_off"], plan)
     offs = offs.reshape(L, Sp, R * EXP_ROW_SLOTS)
     widths = widths.reshape(L, Sp, R * EXP_ROW_SLOTS)
-    pad = plan.exp_block_slots - R * EXP_ROW_SLOTS
+    # Gather step-span contract: a frame row with more than one
+    # block/point per frame must pad each block to a FULL 1024-slot mega
+    # step, so no step straddles two blocks.  Two exponent points can sit
+    # bytes apart bounded only by the frame size (3840 B at max rate --
+    # e.g. new exponents at blocks 0 and 5 of a mantissa-heavy frame),
+    # far beyond the (MEGA_FR-2)*128-byte window; the single-point case
+    # (640 slots, the steady production path) fits one step by itself.
+    block_slots = (plan.exp_block_slots if blocks_per_frame == 1
+                   else ((plan.exp_block_slots + 1023) // 1024) * 1024)
+    pad = block_slots - R * EXP_ROW_SLOTS
     if pad:
         offs = jnp.concatenate(
             [offs, jnp.broadcast_to(offs[..., -1:], (L, Sp, pad))], axis=-1)
@@ -614,9 +623,9 @@ def unpack_exponents(frames_u8, meta, carry_exp, plan: RowPlan = None):
             [widths, jnp.zeros((L, Sp, pad), jnp.int32)], axis=-1)
     codes = as_u16(extract_fields(
         frames_u8.reshape(L * F, MB),
-        offs.reshape(L * F, blocks_per_frame * plan.exp_block_slots),
-        widths.reshape(L * F, blocks_per_frame * plan.exp_block_slots)))
-    codes = codes.reshape(L, Sp, plan.exp_block_slots)[..., : R * EXP_ROW_SLOTS]
+        offs.reshape(L * F, blocks_per_frame * block_slots),
+        widths.reshape(L * F, blocks_per_frame * block_slots)))
+    codes = codes.reshape(L, Sp, block_slots)[..., : R * EXP_ROW_SLOTS]
     codes = codes.reshape(L, Sp, R, EXP_ROW_SLOTS)
     exp_new = decode_exponents(codes, mc, plan)          # [L, Sp, R, 256]
 
@@ -1192,9 +1201,22 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
         # keeps every rebased entry nonnegative under the rank-lattice
         # sawtooth).  The group width must match the gather kernel's
         # window grouping: 1024-slot mega steps (or 128-slot tiles in
-        # the fallback form).
+        # the per-tile form).
+        #
+        # Kernel dispatch: the has_cpl layout (all fbw bins, then cpl
+        # bin-major) is NOT ordinal-monotone -- fbw channels after the
+        # coupling carrier hold ordinals larger than every cpl ordinal,
+        # so a 1024-entry mega step straddling the fbw-tail/cpl boundary
+        # (dseg = 2*nfch*256 is not a 1024-multiple) can span up to
+        # ~2300 entries, past the (MEGA_FR_I16-1)*128 = 1408-entry
+        # window.  128-slot tiles never straddle those boundaries (every
+        # segment is a 256-entry multiple) and advance <= ~1 entry/slot
+        # plus a <= nfch rank sawtooth inside one tile, so the cpl
+        # layout dispatches to the per-tile kernel; the monotone no-cpl
+        # layout keeps the mega fast path.
         from .bitgather import MEGA, extract_i16_table
-        G = 1024 if MEGA else 128
+        use_mega = MEGA and not plan.has_cpl
+        G = 1024 if use_mega else 128
         Sd = d_off.shape[1]
         padn = (-Sd) % G
         if padn:
@@ -1203,7 +1225,7 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
                 axis=1)
         d_t = d_off.reshape(L * F, -1, G)
         tmin = d_t.min(axis=-1, keepdims=True)
-        if MEGA:
+        if use_mega:
             # aligned-16-bit fast path: gather orbit VALUES by entry
             # index (2 exact byte planes, no widths wire, no shift/mask)
             d_t = (tmin % 65535) + (d_t - tmin)
@@ -1211,10 +1233,15 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
                 _dither_orbit_u16(),
                 d_t.reshape(L * F, Sd + padn))[:, :Sd].reshape(L, S, dseg)
         else:
+            # per-tile windowed gather on the byte-pair table: span per
+            # 128-entry tile <= ~(128 + nfch) entries = ~266 B;
+            # span_rows=6 gives a (6-2)*128 - 127 - 3 = 382-byte usable
+            # window after worst-case start misalignment and read tail
             d_t = ((tmin % 65535) + (d_t - tmin)) * 16
             states = extract_fields_shared(
                 jnp.asarray(_dither_orbit_bytes()),
-                d_t.reshape(L * F, Sd + padn))[:, :Sd].reshape(L, S, dseg)
+                d_t.reshape(L * F, Sd + padn),
+                span_rows=6, per_tile=True)[:, :Sd].reshape(L, S, dseg)
         # the int16 wire value IS the signed LFSR state
         st = states.astype(jnp.int32)
         dval = ((3 * st) >> 2).astype(jnp.float32)

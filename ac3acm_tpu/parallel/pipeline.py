@@ -640,11 +640,21 @@ class BatchedDecoder:
         if self._raw_carry is None:
             self._raw_carry = init_unpack_carry(L)
         bias = np.full((L, T.NB_BLOCKS * nf), self.bias, np.float32)
+        # The probed point counts are jit cache keys.  Heterogeneous
+        # content whose per-chunk counts wander (transient-heavy encodes
+        # flipping 1 <-> 3 exponent points) would recompile per distinct
+        # value and thrash the program cache, so quantize to a small
+        # ladder and keep a running max per stream run (a larger count
+        # is always correct -- extra points pad out).
+        ladder = (1, 2, 3, 6)
+        ep = min(x for x in ladder if x >= static_exp_pts(meta))
+        ap = min(x for x in ladder if x >= static_alloc_pts(meta))
+        self._exp_pts = ep = max(ep, getattr(self, "_exp_pts", 1))
+        self._alloc_pts = ap = max(ap, getattr(self, "_alloc_pts", 1))
         fn = raw_batched_pipeline(fmt, self.mesh, self.emit_int16,
                                   steady=steady, long_only=lo,
                                   cpl_fc=static_cpl_fc(meta),
-                                  exp_pts=static_exp_pts(meta),
-                                  alloc_pts=static_alloc_pts(meta))
+                                  exp_pts=ep, alloc_pts=ap)
         self._fmt = fmt
         carry = (self._raw_carry, self._carry)
         (self._raw_carry, self._carry), pcm = fn(carry, fu8, meta, bias)

@@ -75,7 +75,9 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
               fscod: int = 0, frmsizecod: int = 36, halfratecod: int = 0,
               want_cpl=None, want_blksw=None, want_deltba=False,
               want_dynrng=True, zero_snr=False, csnr_cap: int = 34,
-              cpl_mask: int | None = None):
+              cpl_mask: int | None = None,
+              exp_new_blocks: frozenset | None = None,
+              force_dith: bool | None = None):
     """Generate one frame; returns (bytes, st).  st carries across frames."""
     nf = int(T.NFCHANS[acmod])
     first = st is None
@@ -113,7 +115,8 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
     for blk in range(6):
         _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, first and blk == 0,
                    want_cpl, want_blksw, want_deltba, want_dynrng, zero_snr,
-                   csnr_cap, halfratecod, cpl_mask)
+                   csnr_cap, halfratecod, cpl_mask, exp_new_blocks,
+                   force_dith)
 
     payload = bw.flush()
     total = T.frame_size_bytes(fscod, frmsizecod)
@@ -124,12 +127,16 @@ def gen_frame(rng, st: FrameState | None, acmod: int, lfeon: bool,
 
 def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
                want_cpl, want_blksw, want_deltba, want_dynrng, zero_snr,
-               csnr_cap=34, halfratecod=0, cpl_mask=None):
+               csnr_cap=34, halfratecod=0, cpl_mask=None,
+               exp_new_blocks=None, force_dith=None):
     nf = st.nfchans
     blksw = [0] * nf
     if want_blksw and acmod != 0:
         blksw = [int(rng.integers(0, 2)) for _ in range(nf)]
-    dithflag = [int(rng.integers(0, 2)) for _ in range(nf)]
+    if force_dith is None:
+        dithflag = [int(rng.integers(0, 2)) for _ in range(nf)]
+    else:
+        dithflag = [int(force_dith)] * nf
     for b in blksw:
         bw.write(1, b)
     for d in dithflag:
@@ -220,7 +227,11 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
     # exponent strategies
     cplexpstr = T.EXP_REUSE
     if st.chincpl:
-        cplexpstr = (int(rng.integers(1, 4)) if (new_cpl or rng.random() < 0.4)
+        if exp_new_blocks is not None:
+            want_new = new_cpl or blk in exp_new_blocks
+        else:
+            want_new = new_cpl or rng.random() < 0.4
+        cplexpstr = (int(rng.integers(1, 4)) if want_new
                      else T.EXP_REUSE)
         if new_cpl:
             cplexpstr = int(rng.integers(1, 4))
@@ -228,13 +239,19 @@ def _gen_block(bw, rng, st, acmod, lfeon, fscod, blk, very_first,
     chexpstr = []
     for i in range(nf):
         force_new = very_first or new_cpl     # endmant changes need new exps
-        s = int(rng.integers(1, 4)) if (force_new or rng.random() < 0.4) \
-            else T.EXP_REUSE
+        if exp_new_blocks is not None:
+            want_new = force_new or blk in exp_new_blocks
+        else:
+            want_new = force_new or rng.random() < 0.4
+        s = int(rng.integers(1, 4)) if want_new else T.EXP_REUSE
         chexpstr.append(s)
         bw.write(2, s)
     lfeexpstr = T.EXP_REUSE
     if lfeon:
-        lfeexpstr = 1 if (very_first or rng.random() < 0.4) else 0
+        if exp_new_blocks is not None:
+            lfeexpstr = 1 if (very_first or blk in exp_new_blocks) else 0
+        else:
+            lfeexpstr = 1 if (very_first or rng.random() < 0.4) else 0
         bw.write(1, lfeexpstr)
 
     for i in range(nf):

@@ -288,6 +288,119 @@ def test_exp_alloc_compaction_bit_exact():
                                       np.asarray(carries[0][k]))
 
 
+def test_compact_two_point_max_rate_exponents():
+    """ADVICE r4 (high): with exp_pts >= 2 the compact exponent gather
+    points are non-adjacent blocks of one frame; at max frame size
+    (3840 B, fscod=2 frmsizecod=36) points at blocks 0 and 5 put far
+    more than the mega window's byte span into what WAS one 1024-slot
+    step (640 slots/point).  The per-point 1024-slot padding must keep
+    each step inside one point; results must equal both the dense
+    program and the host parser bit for bit."""
+    es = None
+    for seed in range(41, 70):
+        try:
+            cand = gen_stream(seed, 7, False, nframes=3, want_cpl=False,
+                              fscod=2, frmsizecod=36,
+                              exp_new_blocks=frozenset({0, 5}))
+        except OverflowError:
+            continue
+        frames, rec, snaps = parse_with_snapshots(cand, T.A52_STEREO)
+        # require the hazard: a frame whose block-5 exponent fields sit
+        # > 2816 B (the widened mega window) past its block-0 fields
+        spans = []
+        for f in range(len(frames)):
+            offs = [r["exp_off"] for r in rec[6 * f: 6 * f + 6]]
+            live = [o[o >= 0] for o in offs]
+            b0 = live[0].min() if live[0].size else 0
+            b5 = live[5].max() if live[5].size else 0
+            spans.append(b5 - b0)
+        if max(spans) > 2816 * 8:
+            es = cand
+            break
+    assert es is not None, "no max-rate 2-point stream reached the hazard"
+    assert all(r["raw_ok"] for r in rec)
+    fu8, meta, meta_np = device_inputs(frames, rec)
+    meta = U.prune_raw_meta({k: np.asarray(v) for k, v in meta.items()})
+    meta = {k: jnp.asarray(v) for k, v in meta.items()}
+    E = U.static_exp_pts(meta_np)
+    assert E == 2, E
+
+    BG.SPAN_VIOLATIONS.clear()
+    BG.SPAN_CHECK = True
+    try:
+        outs = []
+        for e in (6, E):
+            carry = U.init_unpack_carry(1)
+            _, blocks = U.unpack_blocks(fu8, meta, carry, bias=0.0,
+                                        nfch=5, exp_pts=e)
+            outs.append(np.asarray(blocks["freq"]))
+    finally:
+        BG.SPAN_CHECK = False
+    assert not BG.SPAN_VIOLATIONS, BG.SPAN_VIOLATIONS
+    np.testing.assert_array_equal(outs[1], outs[0])
+    # and against the host parser's dequant
+    for b, sn in enumerate(snaps):
+        bd = sn["block"]
+        want = (bd.q * bd.a) * bd.b
+        np.testing.assert_array_equal(outs[1][0, b], want,
+                                      err_msg=f"block {b}")
+
+
+def test_cpl_dither_span_guard():
+    """ADVICE r4 (medium): the cpl-dither gather layout is not
+    ordinal-monotone, so it must ride the per-tile kernel; with the span
+    guard armed, a zero-SNR fully-coupled fully-dithered 3/2 stream
+    (maximum LFSR draws: every fbw bin + every cpl bin x 5 ranks) must
+    produce no window violations and stay bit-exact vs the host."""
+    es = _gen(51, 7, False, nframes=3, want_cpl=True, cpl_mask=0b11111,
+              zero_snr=True, force_dith=True)
+    frames, rec, snaps = parse_with_snapshots(es, T.A52_STEREO)
+    assert all(r["raw_ok"] for r in rec)
+    fu8, meta, _ = device_inputs(frames, rec)
+    meta = U.prune_raw_meta({k: np.asarray(v) for k, v in meta.items()})
+    meta = {k: jnp.asarray(v) for k, v in meta.items()}
+    assert "dith" in meta and "chincpl" in meta
+
+    BG.SPAN_VIOLATIONS.clear()
+    BG.SPAN_CHECK = True
+    try:
+        carry = U.init_unpack_carry(1)
+        _, blocks = U.unpack_blocks(fu8, meta, carry, bias=0.0, nfch=5)
+        freq = np.asarray(blocks["freq"])[0]
+    finally:
+        BG.SPAN_CHECK = False
+    assert not BG.SPAN_VIOLATIONS, BG.SPAN_VIOLATIONS
+    for b, sn in enumerate(snaps):
+        bd = sn["block"]
+        want = (bd.q * bd.a) * bd.b
+        np.testing.assert_array_equal(freq[b], want, err_msg=f"block {b}")
+
+
+def test_span_guard_on_representative_content():
+    """ADVICE r4 (medium): the widened step-span contract is enforced
+    nowhere at runtime -- so enforce it HERE, over every stream family
+    the unpack suite uses, with the bitgather span guard armed.  Any
+    layout change that breaches a gather window turns silent corruption
+    into a loud failure on this test."""
+    BG.SPAN_VIOLATIONS.clear()
+    BG.SPAN_CHECK = True
+    try:
+        for name, seed, acmod, lfeon, kw in FREQ_CASES:
+            es = _gen(seed, acmod, lfeon, **kw)
+            flags = T.A52_STEREO | (T.A52_LFE if lfeon else 0)
+            frames, rec, _ = parse_with_snapshots(es, flags)
+            fu8, meta, _ = device_inputs(frames, rec)
+            meta = U.prune_raw_meta(
+                {k: np.asarray(v) for k, v in meta.items()})
+            meta = {k: jnp.asarray(v) for k, v in meta.items()}
+            carry = U.init_unpack_carry(1)
+            U.unpack_blocks(fu8, meta, carry, bias=0.0,
+                            nfch=int(T.NFCHANS[acmod]))
+            assert not BG.SPAN_VIOLATIONS, (name, BG.SPAN_VIOLATIONS)
+    finally:
+        BG.SPAN_CHECK = False
+
+
 def test_compaction_dense_content_falls_back():
     """static_exp_pts / static_alloc_pts report 6 (dense) for content
     that re-sends exponents every block, and the compacted program with
