@@ -192,29 +192,33 @@ def _build(variant: str):
         im = jnp.stack([a0i, b0i, a1i, b1i, a2i, b2i, a3i, b3i], -1)
         return re, im
 
+    # identity weight for the widened pass: 1.0 (float) or Q30 one
+    # (fixed -- FixedOps::MUL(1<<30, x) == x exactly, same split-16
+    # algebra as the C macro)
+    _one = 1.0 if variant == "float" else (1 << 30)
+
     def _ifft_pass(re, im, roots, n):
         """ifft_pass(buf, weight, n): 4 sub-buffers of length n at 0, n,
-        2n, 3n.  First butterfly (index 0) is the wr=1,wi=0 special case;
-        butterflies 1..n-1 use the C pointer walk's root indexing."""
+        2n, 3n.  The C code special-cases butterfly 0 (_bf_zero); here it
+        rides the SAME wide _bf with wr=1, wi=0, which reproduces
+        _bf_zero's formulas value-for-value: _m(0,x) = +-0 and
+        _m(1,x) = x are exact, t5 = 0 + a2r rounds to a2r, and
+        t1 = t5 + t7 is then fl(a2r + a3r) -- the _bf_zero op sequence
+        (only zero SIGNS can differ, invisible downstream).  One wide
+        butterfly per pass, no per-column concats -- ~2x fewer XLA
+        materializations on the hot exact path."""
         a0r, a0i = re[..., 0:n], im[..., 0:n]
         a1r, a1i = re[..., n:2 * n], im[..., n:2 * n]
         a2r, a2i = re[..., 2 * n:3 * n], im[..., 2 * n:3 * n]
         a3r, a3i = re[..., 3 * n:4 * n], im[..., 3 * n:4 * n]
 
-        z = _bf_zero(a0r[..., 0], a0i[..., 0], a1r[..., 0], a1i[..., 0],
-                     a2r[..., 0], a2i[..., 0], a3r[..., 0], a3i[..., 0])
-        wr = roots[: n - 1]
-        wi = roots[n - 2::-1]
-        v = _bf(a0r[..., 1:], a0i[..., 1:], a1r[..., 1:], a1i[..., 1:],
-                a2r[..., 1:], a2i[..., 1:], a3r[..., 1:], a3i[..., 1:],
-                wr, wi)
-
-        def cat(z0, vv):
-            return jnp.concatenate([z0[..., None], vv], axis=-1)
-        re = jnp.concatenate([cat(z[0], v[0]), cat(z[2], v[2]),
-                              cat(z[4], v[4]), cat(z[6], v[6])], axis=-1)
-        im = jnp.concatenate([cat(z[1], v[1]), cat(z[3], v[3]),
-                              cat(z[5], v[5]), cat(z[7], v[7])], axis=-1)
+        wr = np.concatenate([[np.asarray(roots).dtype.type(_one)],
+                             roots[: n - 1]])
+        wi = np.concatenate([[np.asarray(roots).dtype.type(0)],
+                             roots[n - 2::-1]])
+        v = _bf(a0r, a0i, a1r, a1i, a2r, a2i, a3r, a3i, wr, wi)
+        re = jnp.concatenate([v[0], v[2], v[4], v[6]], axis=-1)
+        im = jnp.concatenate([v[1], v[3], v[5], v[7]], axis=-1)
         return re, im
 
     def _ifft16(re, im):
@@ -350,6 +354,67 @@ def _build(variant: str):
         blk = blksw[..., None]
         return jnp.where(blk, out_s, out_l), jnp.where(blk, d_s, d_l)
 
+    # exact permutation matmuls (float only) --------------------------------
+    #
+    # XLA's gather/scatter lowering for static lane permutations is
+    # catastrophically slow at production batch shapes on TPU (measured:
+    # the fftorder take pair costs 600x a HIGHEST matmul against a {0,1}
+    # permutation matrix; the strided .at[].set z-scatter 20x).  A
+    # {0,+-1} matrix at Precision.HIGHEST is BITWISE exact: the operand
+    # decomposes into bf16 limbs of disjoint significand bits (an exact
+    # real decomposition), each limb times 0/+-1 is exact, and summing
+    # disjoint-bit limbs reconstructs the float exactly.  Verified by
+    # array_equal against the take/scatter forms in tests.
+    def _permute_dot(x, mat_np):
+        return jnp.matmul(x, jnp.asarray(mat_np),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    @lru_cache(maxsize=1)
+    def _perm_mats_512():
+        tw = _tw_float()
+        order = np.asarray(tw["fftorder"])
+        i = np.arange(64)
+        k = np.arange(128)
+        pre = np.zeros((256, 256), np.float32)     # -> [dk | dm]
+        pre[order, k] = 1.0
+        pre[255 - order, 128 + k] = 1.0
+        pz = np.zeros((128, 256), np.float32)      # [a_r | b_r] -> z
+        pz[i, 255 - 2 * i] = 1.0
+        pz[i, 2 * i] = -1.0
+        pz[64 + i, 2 * i + 1] = 1.0
+        pz[64 + i, 254 - 2 * i] = -1.0
+        pd = np.zeros((128, 128), np.float32)      # [a_i | b_i] -> dnew
+        pd[i, 2 * i] = 1.0
+        pd[64 + i, 2 * i + 1] = 1.0
+        return pre, pz, pd
+
+    @lru_cache(maxsize=1)
+    def _perm_mats_256():
+        tw = _tw_float()
+        kk = np.asarray(tw["fftorder"][:64])
+        i = np.arange(32)
+        c = np.arange(64)
+        pre = np.zeros((256, 256), np.float32)     # -> [d1a|d1b|d2a|d2b]
+        pre[kk, c] = 1.0
+        pre[254 - kk, 64 + c] = 1.0
+        pre[kk + 1, 128 + c] = 1.0
+        pre[255 - kk, 192 + c] = 1.0
+        pz = np.zeros((128, 256), np.float32)      # [a_r|a_i|b_r|b_i] -> z
+        pz[i, 255 - 2 * i] = 1.0
+        pz[i, 2 * i] = -1.0
+        pz[32 + i, 128 + 2 * i] = 1.0
+        pz[32 + i, 127 - 2 * i] = -1.0
+        pz[64 + i, 129 + 2 * i] = 1.0
+        pz[64 + i, 126 - 2 * i] = -1.0
+        pz[96 + i, 254 - 2 * i] = 1.0
+        pz[96 + i, 2 * i + 1] = -1.0
+        pd = np.zeros((128, 128), np.float32)      # [c_r|c_i|d_r|d_i] -> dnew
+        pd[i, 127 - 2 * i] = 1.0
+        pd[32 + i, 2 * i] = 1.0
+        pd[64 + i, 2 * i + 1] = 1.0
+        pd[96 + i, 126 - 2 * i] = 1.0
+        return pre, pz, pd
+
     # (z, d) split form -- float only ---------------------------------------
     #
     # The windowed OLA epilogue shared by the hoisted pipelines
@@ -374,11 +439,12 @@ def _build(variant: str):
         a52_imdct_512 split so that the hoisted `ola` epilogue reproduces
         the reference output bit for bit.  dnew is independent of the
         entering delay, which is what makes scan-free chunk pipelines
-        possible with exact numerics."""
+        possible with exact numerics.  Lane permutations ride exact
+        HIGHEST matmuls (see _permute_dot above)."""
         tw = _tw()
-        order = tw["fftorder"]
-        dk = data[..., order]
-        dm = data[..., 255 - order]
+        pre, pz, pd = _perm_mats_512()
+        g = _permute_dot(data, pre)
+        dk, dm = g[..., :128], g[..., 128:]
         tr, ti = tw["pre1_r"], tw["pre1_i"]
         bre = _m(ti, dm) + _m(tr, dk)
         bim = _m(tr, dm) - _m(ti, dk)
@@ -387,28 +453,24 @@ def _build(variant: str):
         i = np.arange(64)
         t_r, t_i = tw["post1_r"], tw["post1_i"]
         fr, fi = bre[..., :64], bim[..., :64]
-        gr, gi = bre[..., 127 - i], bim[..., 127 - i]
+        gr = jnp.flip(bre[..., 64:], axis=-1)
+        gi = jnp.flip(bim[..., 64:], axis=-1)
         a_r = _m(t_r, fr) + _m(t_i, fi)
         a_i = _m(t_i, fr) - _m(t_r, fi)
         b_r = _m(t_i, gr) + _m(t_r, gi)
         b_i = _m(t_r, gr) - _m(t_i, gi)
-        z = jnp.zeros(data.shape[:-1] + (256,), data.dtype)
-        z = z.at[..., 255 - 2 * i].set(a_r)
-        z = z.at[..., 2 * i].set(-a_r)
-        z = z.at[..., 2 * i + 1].set(b_r)
-        z = z.at[..., 254 - 2 * i].set(-b_r)
-        dnew = jnp.zeros(data.shape[:-1] + (128,), data.dtype)
-        dnew = dnew.at[..., 2 * i].set(a_i)
-        dnew = dnew.at[..., 2 * i + 1].set(b_i)
+        z = _permute_dot(jnp.concatenate([a_r, b_r], axis=-1), pz)
+        dnew = _permute_dot(jnp.concatenate([a_i, b_i], axis=-1), pd)
         return z, dnew
 
     def imdct256_z(data):
         """Short-block twin of imdct512_z (a52_imdct_256)."""
         tw = _tw()
-        k = tw["fftorder"][:64]
+        pre, pz, pd = _perm_mats_256()
+        g = _permute_dot(data, pre)
+        d1a, d1b = g[..., :64], g[..., 64:128]
+        d2a, d2b = g[..., 128:192], g[..., 192:]
         tr, ti = tw["pre2_r"], tw["pre2_i"]
-        d1a, d1b = data[..., k], data[..., 254 - k]
-        d2a, d2b = data[..., k + 1], data[..., 255 - k]
         b1r = _m(ti, d1b) + _m(tr, d1a)
         b1i = _m(tr, d1b) - _m(ti, d1a)
         b2r = _m(ti, d2b) + _m(tr, d2a)
@@ -416,33 +478,24 @@ def _build(variant: str):
         b1r, b1i = _ifft64(b1r, b1i)
         b2r, b2i = _ifft64(b2r, b2i)
 
-        i = np.arange(32)
         t_r, t_i = tw["post2_r"], tw["post2_i"]
         a_r = _m(t_r, b1r[..., :32]) + _m(t_i, b1i[..., :32])
         a_i = _m(t_i, b1r[..., :32]) - _m(t_r, b1i[..., :32])
-        g1r, g1i = b1r[..., 63 - i], b1i[..., 63 - i]
+        g1r = jnp.flip(b1r[..., 32:], axis=-1)
+        g1i = jnp.flip(b1i[..., 32:], axis=-1)
         b_r = _m(t_i, g1r) + _m(t_r, g1i)
         b_i = _m(t_r, g1r) - _m(t_i, g1i)
         c_r = _m(t_r, b2r[..., :32]) + _m(t_i, b2i[..., :32])
         c_i = _m(t_i, b2r[..., :32]) - _m(t_r, b2i[..., :32])
-        g2r, g2i = b2r[..., 63 - i], b2i[..., 63 - i]
+        g2r = jnp.flip(b2r[..., 32:], axis=-1)
+        g2i = jnp.flip(b2i[..., 32:], axis=-1)
         d_r = _m(t_i, g2r) + _m(t_r, g2i)
         d_i = _m(t_r, g2r) - _m(t_i, g2i)
 
-        z = jnp.zeros(data.shape[:-1] + (256,), data.dtype)
-        z = z.at[..., 255 - 2 * i].set(a_r)
-        z = z.at[..., 2 * i].set(-a_r)
-        z = z.at[..., 128 + 2 * i].set(a_i)
-        z = z.at[..., 127 - 2 * i].set(-a_i)
-        z = z.at[..., 254 - 2 * i].set(b_i)
-        z = z.at[..., 2 * i + 1].set(-b_i)
-        z = z.at[..., 129 + 2 * i].set(b_r)
-        z = z.at[..., 126 - 2 * i].set(-b_r)
-        dnew = jnp.zeros(data.shape[:-1] + (128,), data.dtype)
-        dnew = dnew.at[..., 2 * i].set(c_i)
-        dnew = dnew.at[..., 127 - 2 * i].set(c_r)
-        dnew = dnew.at[..., 2 * i + 1].set(d_r)
-        dnew = dnew.at[..., 126 - 2 * i].set(d_i)
+        z = _permute_dot(
+            jnp.concatenate([a_r, a_i, b_r, b_i], axis=-1), pz)
+        dnew = _permute_dot(
+            jnp.concatenate([c_r, c_i, d_r, d_i], axis=-1), pd)
         return z, dnew
 
     out = {"imdct512": imdct512, "imdct256": imdct256,

@@ -57,6 +57,13 @@ ANNOTATIONS = {
         "reference corpus's commercial streams; an independently ENCODED "
         "coupling/short-block stream additionally needs an encoder this "
         "zero-egress environment does not have (see CORPUS.md)",
+    "spec_cpl51_hazard.ac3":
+        "coupling + short blocks + LFE from the INDEPENDENT producer "
+        "`tests/specgen.py` (seed 11): own bit packer, frame syntax "
+        "transcribed from ATSC A/52 sec. 5.4 against the reference "
+        "parser, and mantissa widths allocated by the COMPILED "
+        "REFERENCE's own a52_bit_allocate — zero shared lines with the "
+        "decoder under test or with streamgen.py (VERDICT r4 #6)",
 }
 
 # reference-encoder streams: (name, nch, kbps, freq, nframes, seed, loud)
@@ -183,6 +190,19 @@ if __name__ == "__main__":
                 blocks.astype(np.float32))
         print(name, len(es), blocks.shape, ANNOTATIONS[name])
 
+    # independent-producer hazard stream (tests/specgen.py -- zero shared
+    # lines with streamgen or the decoder; the compiled reference's own
+    # allocator decides every mantissa width)
+    from tests.specgen import gen_stream as spec_gen_stream
+    es = spec_gen_stream(ref, 11, 7, True, nframes=4, want_cpl=True,
+                         want_blksw=True)
+    open("tests/golden/spec_cpl51_hazard.ac3", "wb").write(es)
+    _, blocks = ref.decode_stream(es, 2)
+    assert blocks.size
+    np.save("tests/golden/spec_cpl51_hazard.ac3.stereo_float.npy",
+            blocks.astype(np.float32))
+    print("spec_cpl51_hazard.ac3", len(es), blocks.shape)
+
     with open("tests/golden/CORPUS.md", "w") as f:
         f.write("# Golden corpus (hazard annotations)\n\n"
                 "Regenerate with `python tests/make_golden.py` "
@@ -203,6 +223,11 @@ if __name__ == "__main__":
             "need an independent encoder emitting those tools (e.g. "
             "ffmpeg, or ATSC conformance vectors); this build "
             "environment has zero network egress and ships no such "
-            "encoder or vectors, so those hazards remain covered by "
-            "tests/streamgen.py bitstreams (decoded by the compiled "
-            "reference as the oracle).\n")
+            "encoder or vectors.  The loop is instead closed locally by "
+            "`tests/specgen.py` (spec_cpl51_hazard.ac3 above): a second "
+            "synthesizer sharing zero lines with streamgen.py or the "
+            "decoder — its own bit packer, spec-transcribed syntax, and "
+            "the compiled reference's own allocator deciding every "
+            "mantissa width.  Both generators' streams are "
+            "cross-checked through the compiled reference decoder "
+            "(tests/test_specgen.py, tests/test_regression.py).\n")
