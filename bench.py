@@ -197,7 +197,11 @@ def _assert_fused_matches_xla(fmt, blocks1, check_blocks=48):
         f"on {check_blocks} golden blocks")
 
 
-def bench_config2_device(batch, nframes):
+def bench_config2_device(batch, nframes, fast=False):
+    """fast=False (default): the CONTRACTUAL order-exact path (package
+    ACCURACY='reference', bit-exact vs the compiled reference).
+    fast=True: the opt-in matmul/fused-Pallas path (0.02/0.002 LSB
+    contract) -- recorded as c2_fast_device_xrt."""
     import jax
     import jax.numpy as jnp
     from ac3acm_tpu.models.decoder import (StreamFormat, premix_blocks,
@@ -212,7 +216,7 @@ def bench_config2_device(batch, nframes):
     steady = steady_ok(fmt, blocks1)
     long_only = steady and not np.asarray(blocks1["blksw"]).any()
     premixed = steady and fmt.nf_out < fmt.nfchans
-    fused = (premixed and long_only
+    fused = (fast and premixed and long_only
              and os.environ.get("BENCH_NO_PALLAS", "") != "1")
     chk = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
 
@@ -236,7 +240,8 @@ def bench_config2_device(batch, nframes):
     blocks = jax.tree.map(bcast, blocks1p)
     fn = batched_pipeline(fmt, emit_int16=True, steady=steady,
                           long_only=long_only, premixed=premixed,
-                          pallas=(False if not fused else None))
+                          pallas=(False if not fused else None),
+                          exact=(not fast))
     state = {"c": init_batched_carry(batch)}
 
     # pipelined steady state: K chained steps per barrier.  Dispatch
@@ -259,10 +264,53 @@ def bench_config2_device(batch, nframes):
     dt /= K
     times = [t / K for t in times]
     xrt = batch * nblk * 256 / 48000.0 / dt
-    log(f"config2 device pipeline: {batch} x {nframes}f, best "
+    mode = "fast (fused/matmul)" if fast else "reference (order-exact)"
+    log(f"config2 device pipeline [{mode}]: {batch} x {nframes}f, best "
         f"{dt * 1000:.1f} ms ({[round(t * 1000) for t in times]}), "
         f"{xrt:.0f}x realtime")
-    return round(xrt, 1)
+    return round(xrt, 1), batch * nframes / dt
+
+
+# ---------------------------------------------------------------------------
+# roofline / MFU accounting (VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+# v5e single-chip peaks (public: cloud.google.com/tpu/docs/v5e): 197
+# TFLOP/s bf16 MXU, 819 GB/s HBM.  MFU here counts MACHINE flops the
+# compiled program executes (incl. multi-pass HIGHEST matmuls and the
+# exact path's {0,+-1} permutation matmuls), bytes count the pipeline's
+# algorithmic-minimum HBM traffic (inputs + outputs; XLA-materialized
+# intermediates are excluded, so hbm_pct is a LOWER bound).
+PEAK_MXU_FLOPS = 197e12
+PEAK_HBM_BPS = 819e9
+
+# per-frame models for the 5.1->2.0 premixed steady decode (12 long
+# transforms: 6 blocks x 2 output planes):
+#   exact:  3 permutation matmuls/transform at HIGHEST (6 MXU passes):
+#           (256*256 + 128*256 + 128*128) * 2 * 6 flops, plus ~5.6K VPU
+#           flops (split-radix replay + twiddles + OLA)
+#   fast:   one [256,384] matmul/transform, 3-pass bf16 hi/lo split
+#   bytes:  freq in 12 x 1 KB f32 + PCM out 12 x 512 B int16
+C2_TRANSFORMS_PER_FRAME = 12
+C2_FLOPS_EXACT = C2_TRANSFORMS_PER_FRAME * (
+    (256 * 256 + 128 * 256 + 128 * 128) * 2 * 6 + 5600)
+C2_FLOPS_FAST = C2_TRANSFORMS_PER_FRAME * (256 * 384 * 2 * 3)
+C2_BYTES = C2_TRANSFORMS_PER_FRAME * (1024 + 512)
+
+
+def roofline(configs, key, frames_per_s, flops_per_frame, bytes_per_frame):
+    """Record mfu_pct / hbm_pct / bound_by for a device config."""
+    mfu = flops_per_frame * frames_per_s / PEAK_MXU_FLOPS * 100.0
+    hbm = bytes_per_frame * frames_per_s / PEAK_HBM_BPS * 100.0
+    configs[f"{key}_flops_per_frame"] = int(flops_per_frame)
+    configs[f"{key}_bytes_per_frame"] = int(bytes_per_frame)
+    configs[f"{key}_tflops"] = round(flops_per_frame * frames_per_s / 1e12,
+                                     2)
+    configs[f"{key}_mfu_pct"] = round(mfu, 2)
+    configs[f"{key}_hbm_pct"] = round(hbm, 2)
+    configs[f"{key}_bound_by"] = ("mxu" if mfu > max(hbm, 50.0) else
+                                  "hbm" if hbm > 50.0 else
+                                  "neither-pegged (dispatch/VPU/fusion)")
 
 
 # ---------------------------------------------------------------------------
@@ -671,12 +719,26 @@ def main():
             configs["c1_reference_liba52_same_host_xrt"] = c1_ref
 
     def cfg2():
-        configs["c2_batched_decode_device_xrt"] = \
-            bench_config2_device(batch, nframes)
+        xrt, fps = bench_config2_device(batch, nframes)
+        configs["c2_batched_decode_device_xrt"] = xrt
+        configs["c2_accuracy_mode"] = "reference (bit-exact, compare.c " \
+                                      "by construction)"
+        roofline(configs, "c2", fps, C2_FLOPS_EXACT, C2_BYTES)
+
+    def cfg2_fast():
+        xrt, fps = bench_config2_device(batch, nframes, fast=True)
+        configs["c2_fast_device_xrt"] = xrt
+        configs["c2_fast_accuracy_mode"] = "fast (opt-in; max<=0.02 " \
+                                           "mean<=0.001 sigma<=0.002)"
+        roofline(configs, "c2_fast", fps, C2_FLOPS_FAST, C2_BYTES)
 
     def cfg2_raw():
         configs["c2_raw_device_xrt"] = bench_config2_raw_device(
             int(os.environ.get("BENCH_RAW_BATCH", "256")), 16)
+        configs["c2_raw_bound_by"] = (
+            "device unpack: windowed bitfield-gather MXU passes at ~1 "
+            "cycle/slot weight-load floor + lattice cumsums "
+            "(tools/probe_gather.py, ROUND4.md item 3)")
 
     def cfg_e2e():
         h2d_mbps, d2h_mbps = bench_link()
@@ -693,6 +755,9 @@ def main():
         configs["h2d_bytes_per_frame_compact"] = \
             e2e["h2d_bytes_per_frame_compact"]
         configs["h2d_bytes_per_frame_raw"] = e2e["h2d_bytes_per_frame_raw"]
+        configs["e2e_bound_by"] = (
+            "1-core host parse + tunnel link (normalizers: "
+            "link_h2d_mbps, e2e_host_parse_xrt_per_core, host_cores)")
 
     def cfg_host_parse():
         parse_xrt, parse_us = bench_host_parse()
@@ -710,6 +775,9 @@ def main():
     def cfg3_dev():
         configs["c3_device_xrt"] = bench_encode_device(
             1024, 8, 192, 2, "config3 device-side stereo encode")
+        configs["c3_device_bound_by"] = (
+            "pack-stage one-hot deposit matmuls + scan inter-stage "
+            "materialization (tools/profile_encoder2.py)")
 
     def cfg4():
         configs["c4_51_encode_640k_xrt"] = \
@@ -732,11 +800,15 @@ def main():
         configs["hetero_all_51_xrt"] = het["all_51"]
         configs["hetero_all_20_xrt"] = het["all_20"]
         configs["hetero_mixed_50_50_xrt"] = het["mixed"]
+        configs["hetero_bound_by"] = (
+            "1-core host parse + per-format re-bucketing "
+            "(hetero_bucketing_overhead normalizer)")
 
     if "1" in which:
         run_cfg("c1", cfg1)
     if "2" in which:
         run_cfg("c2_device", cfg2)
+        run_cfg("c2_fast_device", cfg2_fast)
         run_cfg("c2_raw_device", cfg2_raw)
     if "e2e" in which:
         run_cfg("e2e", cfg_e2e)
