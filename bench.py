@@ -800,6 +800,13 @@ def main():
         configs["hetero_all_51_xrt"] = het["all_51"]
         configs["hetero_all_20_xrt"] = het["all_20"]
         configs["hetero_mixed_50_50_xrt"] = het["mixed"]
+        # overhead of per-format bucketing: a perfectly-bucketed mixed
+        # batch costs the half-and-half time-sum of the uniform configs
+        # (harmonic mean of their xrt); anything above that is repo-owned
+        # re-bucketing/marshaling (VERDICT r4 #5 normalizer)
+        pred = 2.0 / (1.0 / het["all_51"] + 1.0 / het["all_20"])
+        configs["hetero_bucketing_overhead_pct"] = round(
+            (pred / het["mixed"] - 1.0) * 100.0, 1)
         configs["hetero_bound_by"] = (
             "1-core host parse + per-format re-bucketing "
             "(hetero_bucketing_overhead normalizer)")
