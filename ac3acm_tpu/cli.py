@@ -74,6 +74,9 @@ def _stream_frames(fin, kind, track, pid, chunk=4096):
 
 def cmd_decode(args):
     import itertools
+    if getattr(args, "accuracy", "reference") != "reference":
+        from .models.decoder import set_accuracy
+        set_accuracy(args.accuracy)
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     frames = _stream_frames(fin, args.container, args.track, args.pid)
     try:
@@ -283,6 +286,12 @@ def main(argv=None):
     d.add_argument("--sample-type", default="float",
                    choices=["float", "fixed", "double"],
                    help="decode arithmetic (LIBA52_FIXED/DOUBLE parity)")
+    d.add_argument("--accuracy", default="reference",
+                   choices=["reference", "fast"],
+                   help="reference (default): order-exact IMDCT, "
+                        "bit-exact vs the compiled reference on every "
+                        "path; fast: matmul/fused filterbank under the "
+                        "0.02/0.001/0.002 LSB contract")
     d.add_argument("--backend", default="native", choices=["native", "tpu"],
                    help="native: bit-exact C++ CPU path; tpu: device "
                         "pipeline (float and fixed sample types)")

@@ -78,6 +78,16 @@ class RowPlan(NamedTuple):
     # the device twin of liba52's do_bit_alloc caching (parse.c:949-1056).
     exp_pts: int = 6
     alloc_pts: int = 6
+    # mantissa-gather trim (static, from static_emax): per-channel fbw
+    # gather extent.  The windowed bitfield gather costs ~1 MXU cycle
+    # per SLOT regardless of width, so slots past every stream's endmant
+    # (dead by construction: w=0, forward-filled offsets) are pure
+    # waste; the gather runs on [0:emax) of each channel (+ 64 LFE
+    # slots) and the codes re-expand with zeros.  256 = no trim.  Only
+    # consulted by the no-coupling layouts (coupled channels already
+    # stop at cplstrtmant; the interleaved/compact cpl layouts keep the
+    # full stride).
+    emax: int = 256
 
     @property
     def rows(self):
@@ -145,13 +155,26 @@ class RowPlan(NamedTuple):
 
 
 def plan_from_meta(meta, nfch: int = 5, cpl_fc: int = -1,
-                   exp_pts: int = 6, alloc_pts: int = 6) -> RowPlan:
+                   exp_pts: int = 6, alloc_pts: int = 6,
+                   emax: int = 256) -> RowPlan:
     return RowPlan(nfch=nfch,
                    has_cpl="chincpl" in meta,
                    has_lfe="lfeon" in meta,
                    has_dith="dith" in meta,
                    cpl_fc=cpl_fc if "chincpl" in meta else -1,
-                   exp_pts=exp_pts, alloc_pts=alloc_pts)
+                   exp_pts=exp_pts, alloc_pts=alloc_pts,
+                   emax=emax if "chincpl" not in meta else 256)
+
+
+def static_emax(meta) -> int:
+    """Host probe: the chunk's max fbw endmant, laddered to {128, 160,
+    192, 224, 256} (small ladder = few distinct jit cache keys).  Feeds
+    RowPlan.emax for the trimmed mantissa gather."""
+    em = int(np.asarray(meta["endmant"]).max(initial=0))
+    for cap in (128, 160, 192, 224):
+        if em <= cap:
+            return cap
+    return 256
 
 
 # meta keys whose change between consecutive blocks invalidates the
@@ -1133,10 +1156,45 @@ def unpack_mantissas(frames_u8, exp, bap, cplco, meta, carry_dpos,
                + 5 * ((cnt1 + 2) // 3) + 7 * ((cnt2 + 2) // 3)
                + 7 * ((cnt4 + 1) // 2) + cs[..., 3, :])
 
-    codes = as_u16(extract_fields(
-        frames_u8.reshape(L * F, MB),
-        offsets.reshape(L * F, 6 * seg),
-        w.reshape(L * F, 6 * seg))).reshape(L, S, seg)
+    trim = (not plan.has_cpl) and (plan.emax < 256 or plan.has_lfe)
+    if trim:
+        # drop dead gather slots (VERDICT r4 #4: the gather costs ~1 MXU
+        # cycle/slot, so slots past the chunk's max endmant -- and LFE
+        # slots past 64 (only 7 are ever live) -- are pure waste): run
+        # the windowed gather on per-channel [0:emax) prefixes and
+        # re-expand the codes with zeros.  Dead slots have w=0 and
+        # forward-filled offsets, so dropping them changes no other
+        # slot's extraction; offsets stay monotone, and removing
+        # zero-advance slots only tightens toward the all-live span
+        # bound the mega window already covers (ops/bitgather.py).
+        em = plan.emax
+        parts = [(c * 256, em) for c in range(nfch)]
+        if plan.has_lfe:
+            parts.append((nfch * 256, 64))
+
+        def compact_slots(x):
+            return jnp.concatenate([x[..., o:o + n] for o, n in parts],
+                                   axis=-1)
+
+        segc = sum(n for _, n in parts)
+        codes_c = as_u16(extract_fields(
+            frames_u8.reshape(L * F, MB),
+            compact_slots(offsets).reshape(L * F, 6 * segc),
+            compact_slots(w).reshape(L * F, 6 * segc))).reshape(L, S, segc)
+        pieces = []
+        pos = 0
+        for (o, n) in parts:
+            pieces.append(codes_c[..., pos:pos + n])
+            pad = (256 if o < nfch * 256 else 128) - n
+            if pad:
+                pieces.append(jnp.zeros((L, S, pad), codes_c.dtype))
+            pos += n
+        codes = jnp.concatenate(pieces, axis=-1)
+    else:
+        codes = as_u16(extract_fields(
+            frames_u8.reshape(L * F, MB),
+            offsets.reshape(L * F, 6 * seg),
+            w.reshape(L * F, 6 * seg))).reshape(L, S, seg)
 
     # grouped-class leader propagation (quantizer_set_t carries,
     # parse.c:43-50): forward-fill the leader's code along the lattice.
@@ -1329,7 +1387,8 @@ def remat_mask(meta):
 
 
 def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5,
-                  cpl_fc: int = -1, exp_pts: int = 6, alloc_pts: int = 6):
+                  cpl_fc: int = -1, exp_pts: int = 6, alloc_pts: int = 6,
+                  emax: int = 256):
     """Full raw-H2D device unpack: frame bytes + meta -> pipeline blocks.
 
     frames_u8 [L, F, MB] uint8; meta: stacked raw records [L, S, ...]
@@ -1344,7 +1403,7 @@ def unpack_blocks(frames_u8, meta, carry, bias, nfch: int = 5,
     L, F, MB = frames_u8.shape
     S = 6 * F
     meta = widen_meta(meta)
-    plan = plan_from_meta(meta, nfch, cpl_fc, exp_pts, alloc_pts)
+    plan = plan_from_meta(meta, nfch, cpl_fc, exp_pts, alloc_pts, emax)
     rows7 = np.asarray(plan.rows, np.int32)
 
     exp, exp_rows = unpack_exponents(frames_u8, meta, carry["exp"], plan)

@@ -265,7 +265,8 @@ def raw_batched_pipeline(fmt: StreamFormat, mesh=None,
                          emit_int16: bool = False, steady: bool = False,
                          long_only: bool = False, cpl_fc: int = -1,
                          pallas: bool = False, exp_pts: int = 6,
-                         alloc_pts: int = 6, exact: bool | None = None):
+                         alloc_pts: int = 6, exact: bool | None = None,
+                         emax: int = 256):
     """Raw-H2D decode: jitted (carry, frames_u8, meta, bias) -> (carry, pcm).
 
     The host ships raw AC-3 frame bytes [B, F, MB] plus per-block side-
@@ -304,17 +305,19 @@ def raw_batched_pipeline(fmt: StreamFormat, mesh=None,
     hilo = bool(PS.HILO) if pallas else False
     return _raw_pipeline_cached(fmt, mesh, emit_int16, steady, long_only,
                                 cpl_fc, pallas, hilo, exp_pts, alloc_pts,
-                                exact)
+                                exact, emax)
 
 
 @lru_cache(maxsize=32)
 def _raw_pipeline_cached(fmt: StreamFormat, mesh, emit_int16: bool,
                          steady: bool, long_only: bool, cpl_fc: int,
                          pallas: bool, hilo: bool, exp_pts: int = 6,
-                         alloc_pts: int = 6, exact: bool = False):
+                         alloc_pts: int = 6, exact: bool = False,
+                         emax: int = 256):
     from ..ops.unpack_device import unpack_blocks as _ub
     from functools import partial as _partial
-    unpack_blocks = _partial(_ub, exp_pts=exp_pts, alloc_pts=alloc_pts)
+    unpack_blocks = _partial(_ub, exp_pts=exp_pts, alloc_pts=alloc_pts,
+                             emax=emax)
 
     if pallas:
         eligible = (steady and long_only and emit_int16 and mesh is None
@@ -655,7 +658,7 @@ class BatchedDecoder:
         unpack and decode on device."""
         from ..ops.unpack_device import (init_unpack_carry, prune_raw_meta,
                                          static_alloc_pts, static_cpl_fc,
-                                         static_exp_pts)
+                                         static_emax, static_exp_pts)
         L, nf = fu8.shape[:2]
         # drop meta keys for features absent from the whole chunk (delta
         # bit allocation, coupling, dither, LFE): the jit specializes on
@@ -681,10 +684,14 @@ class BatchedDecoder:
         ap = min(x for x in ladder if x >= static_alloc_pts(meta))
         self._exp_pts = ep = max(ep, getattr(self, "_exp_pts", 1))
         self._alloc_pts = ap = max(ap, getattr(self, "_alloc_pts", 1))
+        # mantissa-gather trim extent: like the point counts, laddered
+        # and carried as a running max so it never shrinks mid-stream
+        self._emax = em = max(static_emax(meta),
+                              getattr(self, "_emax", 128))
         fn = raw_batched_pipeline(fmt, self.mesh, self.emit_int16,
                                   steady=steady, long_only=lo,
                                   cpl_fc=static_cpl_fc(meta),
-                                  exp_pts=ep, alloc_pts=ap)
+                                  exp_pts=ep, alloc_pts=ap, emax=em)
         self._fmt = fmt
         carry = (self._raw_carry, self._carry)
         (self._raw_carry, self._carry), pcm = fn(carry, fu8, meta, bias)

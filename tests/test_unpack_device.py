@@ -401,6 +401,49 @@ def test_span_guard_on_representative_content():
         BG.SPAN_CHECK = False
 
 
+def test_emax_trimmed_gather_bit_exact():
+    """The mantissa-gather trim (RowPlan.emax + 64-slot LFE, VERDICT r4
+    #4) must be bitwise identical to the untrimmed program on
+    no-coupling content -- dead slots carry no information, so dropping
+    them from the windowed gather changes nothing downstream.  Armed
+    span guard: the compacted layout must stay inside the gather
+    windows."""
+    cases = [
+        ("3f2r_lfe_nocpl", 61, 7, True, dict(want_cpl=False)),
+        ("2f2r_blksw", 16, 6, False, dict(want_blksw=True)),
+        ("stereo_plain", 31, 2, False, dict()),
+    ]
+    BG.SPAN_VIOLATIONS.clear()
+    BG.SPAN_CHECK = True
+    try:
+        for name, seed, acmod, lfeon, kw in cases:
+            es = _gen(seed, acmod, lfeon, nframes=3, **kw)
+            flags = T.A52_STEREO | (T.A52_LFE if lfeon else 0)
+            frames, rec, snaps = parse_with_snapshots(es, flags)
+            fu8, meta, meta_np = device_inputs(frames, rec)
+            meta = U.prune_raw_meta(
+                {k: np.asarray(v) for k, v in meta.items()})
+            meta = {k: jnp.asarray(v) for k, v in meta.items()}
+            em = U.static_emax(meta_np)
+            outs = []
+            for emax in (256, em):
+                carry = U.init_unpack_carry(1)
+                _, blocks = U.unpack_blocks(
+                    fu8, meta, carry, bias=0.0,
+                    nfch=int(T.NFCHANS[acmod]), emax=emax)
+                outs.append(np.asarray(blocks["freq"]))
+            np.testing.assert_array_equal(outs[1], outs[0], err_msg=name)
+            # and against the host parser
+            for b, sn in enumerate(snaps):
+                bd = sn["block"]
+                np.testing.assert_array_equal(
+                    outs[1][0, b], (bd.q * bd.a) * bd.b,
+                    err_msg=f"{name} block {b}")
+        assert not BG.SPAN_VIOLATIONS, BG.SPAN_VIOLATIONS
+    finally:
+        BG.SPAN_CHECK = False
+
+
 def test_compaction_dense_content_falls_back():
     """static_exp_pts / static_alloc_pts report 6 (dense) for content
     that re-sends exponents every block, and the compacted program with
