@@ -17,4 +17,16 @@ __version__ = "0.1.0"
 
 from . import tables  # noqa: F401
 
-__all__ = ["tables", "a52"]
+
+def set_accuracy(mode: str):
+    """Package decode accuracy policy: "reference" (default -- every
+    decode path replays the reference's IMDCT op order, bit-exact vs
+    the compiled float liba52, the compare.c contract by construction)
+    or "fast" (matmul/fused filterbank, max<=0.02 mean<=0.001
+    sigma<=0.002 in 16-bit units).  Set before building decoders or
+    dispatching batched pipelines."""
+    from .models.decoder import set_accuracy as _set
+    _set(mode)
+
+
+__all__ = ["tables", "a52", "set_accuracy"]
